@@ -1,0 +1,330 @@
+"""Weighted digital trie choice maps, registered as JAX pytrees.
+
+TPU-native counterpart of the reference's ``Trie<V>`` (modppl/src/trie.rs) and
+``DynTrie = Trie<Arc<dyn Any + Send + Sync>>`` (modppl/src/modeling/dyngenfn.rs:10).
+
+Design differences from the reference, driven by XLA:
+
+- **Values are pytree leaves** (jnp arrays / python scalars), not type-erased
+  ``Arc<dyn Any>`` boxes: the trace is a pytree so every GFI method can be
+  ``jit``/``vmap``/``scan``-compiled and sharded with ``pjit``.
+- **Per-leaf log-probability** replaces the incremental weight bookkeeping at
+  trie.rs:121-142,179: each leaf stores its own ``logp`` and ``weight()``
+  computes the (traced, fused) sum over leaves. Under ``jit`` this compiles to
+  a single XLA add-reduce rather than mutable f64 updates.
+- Structure (the address skeleton) is static aux data; values and logps are
+  dynamic leaves. ``vmap`` over a batch of tries batches every leaf.
+
+Semantics preserved exactly: occupied-address writes raise (trie.rs:106,126,146),
+``merge`` prefers other's values (trie.rs:187-202), ``collect(mask)`` splits
+into (kept, collected, collected-weight) (trie.rs:221-247), ``schema()``
+produces a Selection (trie.rs:205-215).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from modppl_tpu.core.address import Selection, split_addr
+
+_EMPTY = object()  # sentinel: "no inner value" (distinct from a stored None)
+
+
+class Trie:
+    """Hierarchical choice map: children dict + optional inner value + leaf logp."""
+
+    __slots__ = ("children", "value", "logp")
+
+    def __init__(self):
+        self.children = {}
+        self.value = _EMPTY
+        self.logp = 0.0
+
+    @staticmethod
+    def leaf(value, logp=0.0):
+        """A leaf node holding `value` with weight `logp` (trie.rs:26-32)."""
+        t = Trie()
+        t.value = value
+        t.logp = logp
+        return t
+
+    # ---- basic structure --------------------------------------------------
+
+    def is_empty(self):
+        """No inner value and no descendants (trie.rs:36-38)."""
+        return not self.children and self.value is _EMPTY
+
+    def is_leaf(self):
+        """Inner value but no descendants (trie.rs:41-43)."""
+        return not self.children and self.value is not _EMPTY
+
+    def __len__(self):
+        return len(self.children)
+
+    def has_inner(self):
+        return self.value is not _EMPTY
+
+    def inner(self):
+        """Inner value or None (trie.rs:50-52)."""
+        return None if self.value is _EMPTY else self.value
+
+    def take_inner(self):
+        """Remove and return the inner value, or None (trie.rs:55-57)."""
+        v = self.inner()
+        self.value = _EMPTY
+        return v
+
+    def replace_inner(self, value):
+        """Set the inner value, returning the previous one or None (trie.rs:60-62).
+
+        Does not touch `logp` — a sub-genfn's return value carries no weight
+        (dyngenfn.rs:293 stores retv via replace_inner without weight).
+        """
+        prev = self.inner()
+        self.value = value
+        return prev
+
+    def expect_inner(self, msg):
+        if self.value is _EMPTY:
+            raise KeyError(msg)
+        return self.value
+
+    def __iter__(self):
+        """Iterate (addr, sub-trie) over direct descendants (trie.rs:70-72)."""
+        return iter(self.children.items())
+
+    # ---- weight -----------------------------------------------------------
+
+    def weight(self):
+        """Sum of all leaf logps below (and at) this node (trie.rs:85-87).
+
+        Traced: under jit this is one fused reduction over the trace's
+        per-address logp leaves — the XLA replacement for the reference's
+        incremental f64 bookkeeping.
+        """
+        acc = self.logp
+        for sub in self.children.values():
+            acc = acc + sub.weight()
+        return acc
+
+    # ---- search / read ----------------------------------------------------
+
+    def search(self, addr):
+        """Descendant node at `addr`, or None (trie.rs:90-101)."""
+        parts = split_addr(addr)
+        sub = self.children.get(parts[0])
+        if sub is None or len(parts) == 1:
+            return sub
+        return sub.search(parts[1])
+
+    def __contains__(self, addr):
+        return self.search(addr) is not None
+
+    def read(self, addr):
+        """Inner value at `addr`; raises on a missing address (dyngenfn.rs:17-35)."""
+        node = self.search(addr)
+        if node is None:
+            raise KeyError(f'read: failed when searching empty address "{addr}"')
+        return node.expect_inner(f'read: no value found at address "{addr}"')
+
+    def __getitem__(self, addr):
+        return self.read(addr)
+
+    # ---- writes -----------------------------------------------------------
+
+    def observe(self, addr, value):
+        """Store an unweighted `value` leaf at `addr`; raises if occupied (trie.rs:104-119)."""
+        self.w_observe(addr, value, 0.0)
+
+    def w_observe(self, addr, value, logp):
+        """Store a weighted `value` leaf at `addr`; raises if occupied (trie.rs:122-138)."""
+        parts = split_addr(addr)
+        if len(parts) == 1:
+            if parts[0] in self.children:
+                raise KeyError(
+                    f'w_observe: attempted to put into occupied address "{parts[0]}"')
+            self.children[parts[0]] = Trie.leaf(value, logp)
+        else:
+            sub = self.children.setdefault(parts[0], Trie())
+            sub.w_observe(parts[1], value, logp)
+
+    def __setitem__(self, addr, value):
+        self.observe(addr, value)
+
+    def insert(self, addr, sub):
+        """Insert sub-trie at `addr`; raises if occupied (trie.rs:141-159)."""
+        parts = split_addr(addr)
+        if len(parts) == 1:
+            if parts[0] in self.children:
+                raise KeyError(
+                    f'insert: attempted to put into occupied address "{parts[0]}"')
+            self.children[parts[0]] = sub
+        else:
+            node = self.children.setdefault(parts[0], Trie())
+            node.insert(parts[1], sub)
+
+    def remove(self, addr):
+        """Remove and return the sub-trie at `addr`, or None (trie.rs:162-183).
+
+        Empty intermediate nodes are pruned, as in the reference.
+        """
+        parts = split_addr(addr)
+        if len(parts) == 1:
+            return self.children.pop(parts[0], None)
+        node = self.children.get(parts[0])
+        if node is None:
+            return None
+        sub = node.remove(parts[1])
+        if node.is_empty():
+            del self.children[parts[0]]
+        return sub
+
+    def merge(self, other):
+        """Merge `other` into self, preferring other's values (trie.rs:187-202)."""
+        for addr, othersub in list(other.children.items()):
+            if othersub.is_leaf():
+                self.w_observe(addr, othersub.value, othersub.logp)
+            else:
+                mine = self.children.get(addr)
+                if mine is not None:
+                    mine.merge(othersub)
+                else:
+                    self.insert(addr, othersub)
+
+    # ---- schema / collect -------------------------------------------------
+
+    def schema(self):
+        """Selection describing the address structure (trie.rs:205-215)."""
+        sel = Selection()
+        for addr, sub in self.children.items():
+            if sub.is_leaf():
+                sel.visit(addr)
+            else:
+                sel.insert(addr, sub.schema())
+        return sel
+
+    def collect(self, mask):
+        """Split self by a Selection `mask` (trie.rs:221-247).
+
+        Returns (kept, collected, collected_weight): `collected` holds the
+        values under `mask`, `kept` holds the complement; `collected_weight`
+        is collected.weight(). Consumes self (both results may alias self's
+        nodes); matches the move semantics of the reference.
+        """
+        collected = Trie()
+        if self.schema() == mask:
+            return Trie(), self, self.weight()
+        if not mask.is_leaf():
+            for addr, submask in mask:
+                sub = self.remove(addr)
+                if sub is None:
+                    raise KeyError(f'collect: mask address "{addr}" not in trie')
+                if submask.is_leaf():
+                    collected.insert(addr, sub)
+                else:
+                    sub, subcollected, _ = sub.collect(submask)
+                    if not sub.is_empty():
+                        self.insert(addr, sub)
+                    if not subcollected.is_empty():
+                        collected.insert(addr, subcollected)
+        return self, collected, collected.weight()
+
+    # ---- conversion / comparison ------------------------------------------
+
+    def copy(self):
+        """Structural copy (arrays shared — they are immutable in JAX)."""
+        t = Trie()
+        t.value = self.value
+        t.logp = self.logp
+        t.children = {k: v.copy() for k, v in self.children.items()}
+        return t
+
+    def as_dict(self):
+        """Nested plain-dict view {addr: value|dict} (for printing/serialization)."""
+        out = {}
+        if self.value is not _EMPTY:
+            out["__value__"] = self.value
+        for k, v in self.children.items():
+            out[k] = v.inner() if v.is_leaf() else v.as_dict()
+        return out
+
+    @staticmethod
+    def from_dict(d):
+        """Build an unweighted Trie from a nested dict of {component: value|dict}."""
+        t = Trie()
+        for k, v in d.items():
+            if isinstance(v, dict):
+                t.insert(k, Trie.from_dict(v))
+            else:
+                t.observe(k, v)
+        return t
+
+    def addresses(self, prefix=""):
+        """All leaf-value addresses, ' / '-joined, sorted."""
+        out = []
+        for k in sorted(self.children):
+            sub = self.children[k]
+            path = k if not prefix else f"{prefix} / {k}"
+            if sub.has_inner():
+                out.append(path)
+            if sub.children:
+                out.extend(sub.addresses(path))
+        return out
+
+    def __eq__(self, other):
+        if not isinstance(other, Trie):
+            return NotImplemented
+        if set(self.children) != set(other.children):
+            return False
+        if (self.value is _EMPTY) != (other.value is _EMPTY):
+            return False
+        if self.value is not _EMPTY:
+            if not _values_equal(self.value, other.value):
+                return False
+        if not _values_equal(self.logp, other.logp):
+            return False
+        return all(self.children[k] == other.children[k] for k in self.children)
+
+    def __repr__(self):
+        if self.is_leaf():
+            return f"Trie.leaf({self.value!r}, logp={self.logp!r})"
+        return f"Trie({self.as_dict()!r})"
+
+
+def _values_equal(a, b):
+    try:
+        return bool(jnp.all(jnp.asarray(a) == jnp.asarray(b)))
+    except (TypeError, ValueError):
+        return a == b
+
+
+# ---- pytree registration ---------------------------------------------------
+#
+# Children are flattened in sorted-key order so that two tries with the same
+# address set always produce the same leaf ordering (required for vmap/scan
+# batching and for select-based accept/reject in compiled MH).
+
+def _trie_flatten(t):
+    keys = tuple(sorted(t.children))
+    has_value = t.value is not _EMPTY
+    children_leaves = tuple(t.children[k] for k in keys)
+    if has_value:
+        leaves = (t.value, t.logp) + children_leaves
+    else:
+        leaves = (t.logp,) + children_leaves
+    return leaves, (keys, has_value)
+
+
+def _trie_unflatten(aux, leaves):
+    keys, has_value = aux
+    t = Trie()
+    idx = 0
+    if has_value:
+        t.value = leaves[0]
+        idx = 1
+    t.logp = leaves[idx]
+    idx += 1
+    t.children = dict(zip(keys, leaves[idx:]))
+    return t
+
+
+jax.tree_util.register_pytree_node(Trie, _trie_flatten, _trie_unflatten)

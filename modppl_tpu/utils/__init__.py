@@ -1,0 +1,12 @@
+"""Numeric and pytree utilities.
+
+TPU-native counterpart of the reference's free functions
+(``logsumexp`` at modppl/src/lib.rs:34-45).
+"""
+
+from modppl_tpu.utils.numerics import logsumexp, effective_sample_size_from_log_weights
+
+__all__ = [
+    "logsumexp",
+    "effective_sample_size_from_log_weights",
+]
