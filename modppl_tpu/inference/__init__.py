@@ -1,0 +1,26 @@
+"""Standard inference library.
+
+Model-agnostic via the GenFn interface (the reference's crucial property,
+modppl/src/lib.rs:2-5): every procedure here is generic over any object
+implementing simulate/generate/update/regenerate.
+"""
+
+from modppl_tpu.inference.importance import (
+    importance_resampling,
+    importance_sampling,
+    tree_index,
+)
+from modppl_tpu.inference.mh import (
+    metropolis_hastings,
+    mh,
+    regen_mh,
+    regenerative_metropolis_hastings,
+)
+from modppl_tpu.inference.smc import ParticleSystem
+
+__all__ = [
+    "importance_sampling", "importance_resampling", "tree_index",
+    "metropolis_hastings", "mh",
+    "regenerative_metropolis_hastings", "regen_mh",
+    "ParticleSystem",
+]

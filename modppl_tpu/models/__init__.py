@@ -1,0 +1,34 @@
+"""Example model families mirroring the reference test models.
+
+- simple:       Bayesian linear regression + DSL pointed model
+                (modppl/tests/dyngenfns/simple.rs)
+- hierarchical: bernoulli-gated linear/quadratic regression + proposals
+                (modppl/tests/dyngenfns/hierarchical.rs)
+- spiral:       spiral-tracking Unfold kernel (modppl/tests/dyngenfns/unfold.rs)
+- pointed:      hand-coded GFI model with tuple-buffer Data
+                (modppl/tests/pointed_model/)
+- hmm:          hand-coded sequential GenFn + exact forward algorithm
+                (modppl/tests/hmm/)
+"""
+
+from modppl_tpu.models.simple import line_model, obs_model, pointed_2d_model, \
+    pointed_2d_drift_proposal, Bounds, uniform_2d
+from modppl_tpu.models.hierarchical import (
+    hierarchical_model,
+    hierarchical_drift_proposal,
+    add_or_remove_param_proposal,
+    read_coeffs,
+)
+from modppl_tpu.models.spiral import spiral_kernel, spiral_model
+from modppl_tpu.models.pointed import PointedModel, DriftProposal
+from modppl_tpu.models.hmm import HMM, HMMParams, hmm_forward_alg
+
+__all__ = [
+    "line_model", "obs_model", "pointed_2d_model", "pointed_2d_drift_proposal",
+    "Bounds", "uniform_2d",
+    "hierarchical_model", "hierarchical_drift_proposal",
+    "add_or_remove_param_proposal", "read_coeffs",
+    "spiral_kernel", "spiral_model",
+    "PointedModel", "DriftProposal",
+    "HMM", "HMMParams", "hmm_forward_alg",
+]

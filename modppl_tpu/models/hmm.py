@@ -1,0 +1,87 @@
+"""Hand-coded sequential HMM GenFn + exact forward-algorithm oracle.
+
+Reference parity: modppl/tests/hmm/ — a GenFn with
+``Data = (list[state | None], list[obs | None])`` (vector buffers, no tries):
+generate only at t=1 (model.rs:50-60), update only for EXTEND (model.rs:62-79).
+The exact forward algorithm (forward.rs:3-23) is the quantitative oracle for
+the particle filter's log-marginal-likelihood estimate
+(tests/particle_filter.rs:76 gate: |err| <= 0.03 @ 10k particles).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from modppl_tpu.core.gfi import ArgDiff, GenFn, Trace
+from modppl_tpu.dists import categorical
+
+
+def hmm_forward_alg(prior, emission_dists, transition_dists, observations):
+    """Exact marginal likelihood of `observations` (hmm/forward.rs:3-23).
+
+    Matrix conventions match the reference: emission_dists[obs, state],
+    transition_dists[new_state, prev_state].
+    """
+    prior = jnp.asarray(prior)
+    emission_dists = jnp.asarray(emission_dists)
+    transition_dists = jnp.asarray(transition_dists)
+    marginal_likelihood = 1.0
+    alpha = prior
+    for obs in observations:
+        likelihoods = emission_dists[obs, :]
+        prev_posterior = alpha * likelihoods
+        evidence = jnp.sum(prev_posterior)
+        prev_posterior = prev_posterior / evidence
+        alpha = transition_dists @ prev_posterior
+        marginal_likelihood = marginal_likelihood * evidence
+    return marginal_likelihood
+
+
+class HMMParams:
+    """(hmm/model.rs:8-25)"""
+
+    def __init__(self, prior, emission_matrix, transition_matrix):
+        self.prior = jnp.asarray(prior)
+        self.emission_matrix = jnp.asarray(emission_matrix)
+        self.transition_matrix = jnp.asarray(transition_matrix)
+
+
+class HMM(GenFn):
+    """Sequential HMM over Data = (states list, observations list)."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def _kernel(self, key, data, state_probs, new_observation):
+        # (model.rs:34-43): sample the new state, score the observation.
+        new_state = categorical.sample(key, (state_probs,))
+        obs_probs = self.params.emission_matrix[:, new_state]
+        states, observations = data
+        data = (states + [new_state], observations + [new_observation])
+        weight = categorical.logpdf(new_observation, (obs_probs,))
+        return data, weight
+
+    def simulate(self, key, args):
+        raise NotImplementedError("HMM: simulate not implemented (model.rs:49-51)")
+
+    def generate(self, key, args, constraints):
+        # (model.rs:53-63): only T=1 initialization.
+        t, _ = args
+        if t != 1:
+            raise ValueError(
+                "HMM.generate: only expect generate to initialize (T = 1)")
+        new_observation = constraints[1][0]
+        data, weight = self._kernel(
+            key, ([], []), self.params.prior, new_observation)
+        return Trace(args, data, list(data[1]), weight), weight
+
+    def update(self, key, trace, args, argdiff, constraints):
+        # (model.rs:65-83): EXTEND only.
+        if argdiff is not ArgDiff.EXTEND:
+            raise ValueError(f"HMM.update: can't handle ArgDiff {argdiff}")
+        new_observation = constraints[1][-1]
+        prev_state = trace.data[0][-1]
+        state_probs = self.params.transition_matrix[:, prev_state]
+        data, weight = self._kernel(key, trace.data, state_probs, new_observation)
+        new_trace = Trace((trace.args[0] + 1, trace.args[1]), data,
+                          list(data[1]), trace.logjp + weight)
+        return new_trace, ([], []), weight
