@@ -45,11 +45,15 @@ class UniformContinuous(Distribution):
     """Uniform on [a, b], inclusive bounds, -inf outside (uniform.rs:21-33)."""
 
     def _check(self, a, b):
-        # reference panics when a >= b (uniform.rs:6-10); we can only check
-        # eagerly on concrete params.
-        if not isinstance(a, jax.core.Tracer) and not isinstance(b, jax.core.Tracer):
-            if jnp.all(jnp.asarray(a) >= jnp.asarray(b)):
-                raise ValueError(f"a >= b in [a, b] = [{a}, {b}]; b > a is required.")
+        # reference panics when a >= b (uniform.rs:6-10); only checkable on
+        # concrete params — under jit tracing the check is skipped.
+        try:
+            bad = float(a) >= float(b)
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            return
+        if bad:
+            raise ValueError(f"a >= b in [a, b] = [{a}, {b}]; b > a is required.")
 
     def _logpdf(self, x, a, b):
         self._check(a, b)

@@ -85,3 +85,29 @@ class HMM(GenFn):
         new_trace = Trace((trace.args[0] + 1, trace.args[1]), data,
                           list(data[1]), trace.logjp + weight)
         return new_trace, ([], []), weight
+
+
+def hmm_scan_kernel(params):
+    """Compiled-tier HMM as a ScanKernel of @gen functions over trie data.
+
+    The same model as the hand-coded HMM class above, but expressed in the
+    DSL with static structure so the vectorized filter compiles it
+    (vmap particles x lax.scan time). Traced-index gathers replace the
+    reference's per-sample matrix-column extraction (hmm/model.rs:36-37,73).
+    """
+    from modppl_tpu.modeling import gen
+    from modppl_tpu.inference.vsmc import ScanKernel
+
+    @gen
+    def init(h, _state0):
+        z = h.sample(categorical, (params.prior,), "z")
+        h.sample(categorical, (params.emission_matrix[:, z],), "obs")
+        return z
+
+    @gen
+    def step(h, t, z_prev):
+        z = h.sample(categorical, (params.transition_matrix[:, z_prev],), "z")
+        h.sample(categorical, (params.emission_matrix[:, z],), "obs")
+        return z
+
+    return ScanKernel(init, step)

@@ -36,3 +36,31 @@ def spiral_kernel(h, t, prev_pol):
 
 
 spiral_model = Unfold(spiral_kernel)
+
+
+# ---- compiled-tier form: the t==0 branch split into (init, step) -----------
+# (ScanKernel counterpart of the same kernel, for the vectorized filter.)
+
+@gen
+def spiral_init(h, _state0):
+    """t == 0 arm of spiral_kernel (unfold.rs:18-23)."""
+    r = h.sample(uniform, (0.0, 1.0), "r")
+    theta = h.sample(uniform, (0.0, 2.0 * jnp.pi), "theta")
+    pol = jnp.stack([r, theta])
+    h.sample(mvnormal, (polar_to_cartesian(pol), OBS_COV), "obs")
+    return pol
+
+
+@gen
+def spiral_step(h, t, prev_pol):
+    """t >= 1 arm of spiral_kernel (unfold.rs:24-28); t may be traced."""
+    dr = h.sample(normal, (0.0, 0.1), "dr")
+    dtheta = h.sample(normal, (0.4, 0.2), "dtheta")
+    pol = jnp.stack([prev_pol[0] + dr, prev_pol[1] + dtheta])
+    h.sample(mvnormal, (polar_to_cartesian(pol), OBS_COV), "obs")
+    return pol
+
+
+def spiral_scan_kernel():
+    from modppl_tpu.inference.vsmc import ScanKernel
+    return ScanKernel(spiral_init, spiral_step)
