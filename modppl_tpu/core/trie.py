@@ -32,19 +32,21 @@ _EMPTY = object()  # sentinel: "no inner value" (distinct from a stored None)
 class Trie:
     """Hierarchical choice map: children dict + optional inner value + leaf logp."""
 
-    __slots__ = ("children", "value", "logp")
+    __slots__ = ("children", "value", "logp", "dist")
 
     def __init__(self):
         self.children = {}
         self.value = _EMPTY
         self.logp = 0.0
+        self.dist = None  # Distribution that sampled this leaf (static metadata)
 
     @staticmethod
-    def leaf(value, logp=0.0):
+    def leaf(value, logp=0.0, dist=None):
         """A leaf node holding `value` with weight `logp` (trie.rs:26-32)."""
         t = Trie()
         t.value = value
         t.logp = logp
+        t.dist = dist
         return t
 
     # ---- basic structure --------------------------------------------------
@@ -135,17 +137,22 @@ class Trie:
         """Store an unweighted `value` leaf at `addr`; raises if occupied (trie.rs:104-119)."""
         self.w_observe(addr, value, 0.0)
 
-    def w_observe(self, addr, value, logp):
-        """Store a weighted `value` leaf at `addr`; raises if occupied (trie.rs:122-138)."""
+    def w_observe(self, addr, value, logp, dist=None):
+        """Store a weighted `value` leaf at `addr`; raises if occupied (trie.rs:122-138).
+
+        `dist` optionally records which Distribution sampled the value —
+        static metadata used by gradient-based inference to derive
+        unconstraining bijectors (no reference counterpart).
+        """
         parts = split_addr(addr)
         if len(parts) == 1:
             if parts[0] in self.children:
                 raise KeyError(
                     f'w_observe: attempted to put into occupied address "{parts[0]}"')
-            self.children[parts[0]] = Trie.leaf(value, logp)
+            self.children[parts[0]] = Trie.leaf(value, logp, dist)
         else:
             sub = self.children.setdefault(parts[0], Trie())
-            sub.w_observe(parts[1], value, logp)
+            sub.w_observe(parts[1], value, logp, dist)
 
     def __setitem__(self, addr, value):
         self.observe(addr, value)
@@ -182,7 +189,7 @@ class Trie:
         """Merge `other` into self, preferring other's values (trie.rs:187-202)."""
         for addr, othersub in list(other.children.items()):
             if othersub.is_leaf():
-                self.w_observe(addr, othersub.value, othersub.logp)
+                self.w_observe(addr, othersub.value, othersub.logp, othersub.dist)
             else:
                 mine = self.children.get(addr)
                 if mine is not None:
@@ -235,6 +242,7 @@ class Trie:
         t = Trie()
         t.value = self.value
         t.logp = self.logp
+        t.dist = self.dist
         t.children = {k: v.copy() for k, v in self.children.items()}
         return t
 
@@ -311,12 +319,13 @@ def _trie_flatten(t):
         leaves = (t.value, t.logp) + children_leaves
     else:
         leaves = (t.logp,) + children_leaves
-    return leaves, (keys, has_value)
+    return leaves, (keys, has_value, t.dist)
 
 
 def _trie_unflatten(aux, leaves):
-    keys, has_value = aux
+    keys, has_value, dist = aux
     t = Trie()
+    t.dist = dist
     idx = 0
     if has_value:
         t.value = leaves[0]

@@ -41,6 +41,11 @@ class Distribution:
     #: True if samples live in a discrete space (no HMC gradient flow).
     is_discrete = False
 
+    #: Support of the distribution: "real" | "positive" | "unit_interval" |
+    #: "discrete" | "other". Drives default unconstraining bijectors in
+    #: gradient-based inference (inference/transforms.py).
+    support = "real"
+
     def logpdf(self, x, params):
         """log p(x; params) as a traced jnp scalar (distribution.rs:13)."""
         return self._logpdf(x, *as_param_tuple(params))

@@ -25,6 +25,7 @@ class IID(Distribution):
         self.base = base
         self.n = n
         self.is_discrete = base.is_discrete
+        self.support = base.support
 
     def logpdf(self, x, params):
         params = as_param_tuple(params)

@@ -31,6 +31,7 @@ class Bernoulli(Distribution):
     """Bernoulli over {True, False} with success probability p (bernoulli.rs:11-18)."""
 
     is_discrete = True
+    support = "discrete"
 
     def _logpdf(self, x, p):
         p = _f(p)
@@ -43,6 +44,8 @@ class Bernoulli(Distribution):
 
 class UniformContinuous(Distribution):
     """Uniform on [a, b], inclusive bounds, -inf outside (uniform.rs:21-33)."""
+
+    support = "other"  # interval with param-dependent bounds
 
     def _check(self, a, b):
         # reference panics when a >= b (uniform.rs:6-10); only checkable on
@@ -71,6 +74,7 @@ class UniformDiscrete(Distribution):
     """Uniform integers on [a, b] inclusive (uniform.rs:40-53)."""
 
     is_discrete = True
+    support = "discrete"
 
     def _logpdf(self, x, a, b):
         x = jnp.asarray(x)
@@ -90,6 +94,7 @@ class Categorical(Distribution):
     """
 
     is_discrete = True
+    support = "discrete"
 
     def _logpdf(self, x, probs):
         probs = _f(probs)
@@ -127,6 +132,7 @@ class Geometric(Distribution):
     """Number of failures before the first success (geometric.rs:15-25)."""
 
     is_discrete = True
+    support = "discrete"
 
     def _logpdf(self, k, p):
         p = _f(p)
@@ -145,6 +151,7 @@ class Poisson(Distribution):
     """Poisson with rate λ (poisson.rs:15-23): k lnλ - λ - ln k!."""
 
     is_discrete = True
+    support = "discrete"
 
     def _logpdf(self, k, rate):
         rate = _f(rate)
@@ -160,6 +167,8 @@ class Gamma(Distribution):
     """Gamma with (shape a, scale b) (gamma.rs:16-26):
     (a-1)ln x - x/b - lnΓ(a) - a ln b."""
 
+    support = "positive"
+
     def _logpdf(self, x, a, b):
         x, a, b = _f(x), _f(a), _f(b)
         return (a - 1.0) * jnp.log(x) - x / b - gammaln(a) - a * jnp.log(b)
@@ -170,6 +179,8 @@ class Gamma(Distribution):
 
 class Beta(Distribution):
     """Beta(a, b) (beta.rs:16-27), computed in log space via betaln."""
+
+    support = "unit_interval"
 
     def _logpdf(self, x, a, b):
         x, a, b = _f(x), _f(a), _f(b)

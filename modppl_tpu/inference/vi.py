@@ -1,0 +1,77 @@
+"""Variational inference: mean-field ADVI.
+
+Extension target beyond the reference (BASELINE.json north star). The ELBO
+is built from the same unconstrained log-joint as HMC
+(inference/hmc.make_unconstrained_logprob); the variational family is a
+diagonal Gaussian in unconstrained space with the reparameterization
+gradient, optimized with optax.adam under one jitted lax.scan.
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from modppl_tpu.inference.hmc import make_unconstrained_logprob
+
+
+def advi(key, model, args, observed, *, num_steps=2000, num_mc=8,
+         learning_rate=1e-2, selection=None, init_trace=None):
+    """Mean-field ADVI; returns variational params, a posterior sampler, and
+    the ELBO trace.
+
+    ELBO(mu, log_sigma) = E_{z~q}[logp(z)] + H[q], with
+    H[q] = 0.5 d (1 + log 2π) + Σ log σ.
+    """
+    k_init, k_opt = jax.random.split(key)
+    if init_trace is None:
+        init_trace, _ = model.generate(k_init, args, observed)
+    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
+        model, args, init_trace, observed, selection)
+    u0_flat, unravel = ravel_pytree(u0)
+    dim = u0_flat.shape[0]
+
+    def logprob_flat(u_flat):
+        return logprob(unravel(u_flat))
+
+    def elbo(params, k):
+        mu, log_sigma = params
+        eps = jax.random.normal(k, (num_mc, dim), mu.dtype)
+        zs = mu[None, :] + jnp.exp(log_sigma)[None, :] * eps
+        e_logp = jnp.mean(jax.vmap(logprob_flat)(zs))
+        entropy = 0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi)) + jnp.sum(log_sigma)
+        return e_logp + entropy
+
+    params = (u0_flat, jnp.full((dim,), -2.0, u0_flat.dtype))
+    # decay the step size 30x over the run: averages out the MC gradient
+    # noise so the mean parameters settle instead of oscillating
+    schedule = optax.exponential_decay(
+        learning_rate, max(num_steps, 1), 1.0 / 30.0)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+
+    def step(carry, k):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(
+            lambda p: -elbo(p, k))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), -loss
+
+    keys = jax.random.split(k_opt, num_steps)
+    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
+    mu, log_sigma = params
+
+    def sample(key, num):
+        eps = jax.random.normal(key, (num, dim), mu.dtype)
+        zs = mu[None, :] + jnp.exp(log_sigma)[None, :] * eps
+        return jax.vmap(lambda z: constrain(unravel(z)))(zs)
+
+    return {
+        "mu": mu,
+        "log_sigma": log_sigma,
+        "elbo": elbos,
+        "sample": sample,
+        "bijectors": bijectors,
+        "unravel": unravel,
+    }

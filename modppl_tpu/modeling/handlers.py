@@ -76,7 +76,7 @@ class SimulateHandler(_Handler):
         # dyngenfn.rs:104-113: sample, score, store weighted leaf.
         x = dist.sample(addr_subkey(self.key, addr), params)
         logp = dist.logpdf(x, params)
-        self.tr.data.w_observe(addr, x, logp)
+        self.tr.data.w_observe(addr, x, logp, dist)
         return x
 
     def trace_call(self, gen_fn, args, addr):
@@ -109,7 +109,7 @@ class GenerateHandler(_Handler):
         else:
             x = dist.sample(addr_subkey(self.key, addr), params)
             logp = dist.logpdf(x, params)
-        self.tr.data.w_observe(addr, x, logp)
+        self.tr.data.w_observe(addr, x, logp, dist)
         return x
 
     def trace_call(self, gen_fn, args, addr):
@@ -177,7 +177,7 @@ class UpdateHandler(_Handler):
                 x = dist.sample(addr_subkey(self.key, addr), params)
                 logp = dist.logpdf(x, params)
                 self.diff = ArgDiff.UNKNOWN
-        self.tr.data.w_observe(addr, x, logp)
+        self.tr.data.w_observe(addr, x, logp, dist)
         return x
 
     def trace_call(self, gen_fn, args, addr):
@@ -276,7 +276,7 @@ class RegenerateHandler(_Handler):
                 x = dist.sample(addr_subkey(self.key, addr), params)
                 logp = dist.logpdf(x, params)
                 self.diff = ArgDiff.UNKNOWN
-        self.tr.data.w_observe(addr, x, logp)
+        self.tr.data.w_observe(addr, x, logp, dist)
         return x
 
     def trace_call(self, gen_fn, args, addr):
