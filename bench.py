@@ -1,0 +1,80 @@
+"""Benchmark harness: one JSON line on stdout.
+
+Workload: the reference's headline SMC demo (spiral tracking,
+modppl/tests/smc.rs:49-92 / dyngenfns/unfold.rs) scaled to the BASELINE.json
+north star — 10^6 particles — run as one compiled XLA program
+(vmap particles x lax.scan time, systematic resampling every step).
+
+Metric: particle-steps/s on one chip. vs_baseline is measured against
+1e6 particle-steps/s — the north-star scale of a 10^6-particle SMC
+advancing one step per second per chip (the reference publishes no
+throughput numbers at all; BASELINE.md rows are correctness tolerances).
+
+Runs on whatever the default JAX platform is (the real TPU chip under the
+driver; CPU as a fallback). Keep x64 OFF here — f32 is the TPU compute
+dtype; correctness at f64 is covered by the test suite.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.vsmc import particle_filter
+    from modppl_tpu.models.spiral import spiral_scan_kernel
+
+    num_particles = 1_000_000
+    num_steps = 10  # T: 1 init + 9 scan steps
+
+    kernel = spiral_scan_kernel()
+
+    # observations on a circle, matching the demo's geometry
+    obs = []
+    for t in range(num_steps):
+        ang = 2 * np.pi * t / 16.0
+        obs.append(jnp.array([0.4 * np.cos(ang), 0.4 * np.sin(ang)],
+                             dtype=jnp.float32))
+    init_c = Trie.from_dict({"obs": obs[0]})
+    step_c = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[Trie.from_dict({"obs": o}) for o in obs[1:]])
+
+    def run(seed):
+        out = particle_filter(
+            jax.random.PRNGKey(seed), kernel, jnp.zeros(2, jnp.float32),
+            init_c, step_c, num_particles, resampling="systematic",
+            ess_threshold=1.0)
+        return out["log_ml"]
+
+    # compile + warmup
+    jax.block_until_ready(run(0))
+    # timed
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(i + 1))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    particle_steps_per_s = num_particles * num_steps / best
+
+    print(json.dumps({
+        "metric": "smc_particle_steps_per_s_1chip",
+        "value": round(particle_steps_per_s, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(particle_steps_per_s / 1e6, 3),
+        "particles": num_particles,
+        "steps": num_steps,
+        "seconds_per_filter": round(best, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

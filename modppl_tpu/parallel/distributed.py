@@ -1,0 +1,143 @@
+"""Distributed SMC and MCMC over a device mesh.
+
+SURVEY.md §2b items 1-3: particles/chains shard over the mesh's ``dp`` axis;
+weight normalization and the log-ML estimate become collective reductions;
+resampling ancestry is exchanged with ``all_gather``.
+
+Two execution styles:
+
+1. **SPMD-partitioned** (`sharded_particle_filter`): the compiled
+   single-program filter from inference/vsmc.py run under sharding
+   constraints — XLA's partitioner inserts psum/all-to-all for the
+   logsumexp reductions and the resampling gather. Zero algorithm changes.
+
+2. **Explicit shard_map** (`shardmap_resample_fn`): deterministic cross-shard
+   systematic resampling with a *fixed* reduction order — the weight vector
+   is all-gathered in shard order and reduced locally, so ancestors are
+   bitwise-identical for any dp size (the BASELINE.json determinism
+   requirement), which `tests/test_sharded.py` asserts 1-vs-8 devices.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from modppl_tpu.inference import vsmc
+from modppl_tpu.parallel.mesh import constrain_particles
+from modppl_tpu.parallel.resample import RESAMPLERS, gather_particles, \
+    systematic_parents
+from modppl_tpu.utils import effective_sample_size_from_log_weights, logsumexp
+
+
+# --------------------------------------------------------------------------
+# 1. SPMD-partitioned filter
+# --------------------------------------------------------------------------
+
+def sharded_particle_filter(mesh, key, kernel, state0, init_constraints,
+                            step_constraints, num_particles,
+                            resampling="systematic", ess_threshold=1.0):
+    """The compiled particle filter with its particle axis sharded over dp.
+
+    Same semantics and results as inference/vsmc.particle_filter; XLA
+    partitions the per-particle vmap across the mesh and inserts the
+    collectives for normalization/resampling.
+    """
+    resampler = RESAMPLERS[resampling]
+
+    @partial(jax.jit, static_argnames=())
+    def run(key, state0, init_constraints, step_constraints):
+        s, init_traces = vsmc.smc_init(key, kernel, state0, init_constraints,
+                                       num_particles)
+        s = vsmc.SMCState(s.key, constrain_particles(s.state, mesh),
+                          constrain_particles(s.log_weights, mesh),
+                          s.log_ml, s.t)
+
+        def body(carry, cons_t):
+            carry, ys = vsmc.smc_step(carry, kernel, cons_t, num_particles,
+                                      resampler, ess_threshold)
+            carry = vsmc.SMCState(
+                carry.key, constrain_particles(carry.state, mesh),
+                constrain_particles(carry.log_weights, mesh),
+                carry.log_ml, carry.t)
+            return carry, ys
+
+        s, (step_traces, parents, ess, resampled) = jax.lax.scan(
+            body, s, step_constraints)
+        log_ml = s.log_ml + logsumexp(s.log_weights) \
+            - jnp.log(float(num_particles))
+        return {"state": s.state, "log_weights": s.log_weights,
+                "log_ml": log_ml, "ess": ess, "ancestors": parents}
+
+    with mesh:
+        return run(key, state0, init_constraints, step_constraints)
+
+
+# --------------------------------------------------------------------------
+# 2. Explicit deterministic cross-shard resampling (shard_map)
+# --------------------------------------------------------------------------
+
+def shardmap_resample_fn(mesh, axis="dp"):
+    """Build a deterministic cross-shard systematic resampler.
+
+    Returns ``resample(key, log_weights_local, state_local) ->
+    (new_state_local, parents_local, log_total_weight)`` where the local
+    arrays carry the per-shard slice of the particle axis.
+
+    Fixed reduction order: weights are all-gathered ordered by shard index
+    and reduced locally (identically on every shard), so the global
+    ancestor vector — and therefore the resampled particle system — is
+    bitwise-identical regardless of the number of shards.
+    """
+
+    def local_fn(key, lw_local, state_local):
+        # all_gather in shard order -> every shard sees the full, identically
+        # ordered weight vector (tiled=True concatenates along axis 0)
+        lw_all = jax.lax.all_gather(lw_local, axis, tiled=True)
+        n_total = lw_all.shape[0]
+        n_local = lw_local.shape[0]
+        log_total = logsumexp(lw_all)
+        log_norm = lw_all - log_total
+        parents = systematic_parents(key, log_norm)  # same on all shards
+        idx = jax.lax.axis_index(axis)
+        my_parents = jax.lax.dynamic_slice_in_dim(
+            parents, idx * n_local, n_local)
+        state_all = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis, tiled=True), state_local)
+        new_state_local = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, my_parents, axis=0), state_all)
+        return new_state_local, my_parents, log_total
+
+    in_specs = (P(), P(axis), P(axis))
+    out_specs = (P(axis), P(axis), P())
+    return shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+
+
+def distributed_logsumexp_fn(mesh, axis="dp"):
+    """psum-based distributed logsumexp over a sharded vector (fixed-order
+    per-shard partial reduction + pmax/psum)."""
+
+    def local_fn(lw_local):
+        m_local = jnp.max(lw_local)
+        m = jax.lax.pmax(m_local, axis)
+        s = jax.lax.psum(jnp.sum(jnp.exp(lw_local - m)), axis)
+        return m + jnp.log(s)
+
+    return shard_map(local_fn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=P(), check_vma=False)
+
+
+# --------------------------------------------------------------------------
+# Sharded HMC chains
+# --------------------------------------------------------------------------
+
+def sharded_hmc(mesh, key, model, args, observed, **hmc_kwargs):
+    """Run inference/hmc.hmc with the chain axis sharded over the mesh's dp
+    axis (the 10^4-chain north-star configuration)."""
+    from modppl_tpu.inference.hmc import hmc
+
+    with mesh:
+        return hmc(key, model, args, observed, **hmc_kwargs)
