@@ -50,7 +50,7 @@ def main():
         out = particle_filter(
             jax.random.PRNGKey(seed), kernel, jnp.zeros(2, jnp.float32),
             init_c, step_c, num_particles, resampling="systematic",
-            ess_threshold=1.0)
+            ess_threshold=1.0, store_traces=False)
         return out["log_ml"]
 
     # compile + warmup

@@ -75,23 +75,36 @@ def smc_init(key, kernel, state0, constraints, num_particles):
 
 
 def _resample(key, s, resampler, ess_threshold, num_particles):
-    """Conditional resampling with where-select (compiled; no host sync)."""
+    """Conditional resampling (compiled; no host sync).
+
+    Uses lax.cond so that on non-resample steps the ancestor computation and
+    gather are actually *skipped* at runtime (the TPU scatter in the
+    systematic resampler is the single most expensive op in the filter —
+    a where-select would pay it every step).
+    """
     log_total = logsumexp(s.log_weights)
     log_norm = s.log_weights - log_total
     ess = effective_sample_size_from_log_weights(log_norm)
     do = ess < ess_threshold * num_particles
-    parents = resampler(key, log_norm)
-    identity = jnp.arange(num_particles)
-    parents = jnp.where(do, parents, identity)
-    state = gather_particles(s.state, parents)
-    log_weights = jnp.where(do, jnp.zeros_like(s.log_weights), s.log_weights)
-    log_ml = s.log_ml + jnp.where(
-        do, log_total - jnp.log(float(num_particles)), 0.0)
+
+    def resample_branch(_):
+        parents = resampler(key, log_norm)
+        state = gather_particles(s.state, parents)
+        log_weights = jnp.zeros_like(s.log_weights)
+        log_ml = s.log_ml + log_total - jnp.log(float(num_particles))
+        return state, log_weights, log_ml, parents
+
+    def keep_branch(_):
+        return (s.state, s.log_weights, s.log_ml,
+                jnp.arange(num_particles, dtype=jnp.int32))
+
+    state, log_weights, log_ml, parents = jax.lax.cond(
+        do, resample_branch, keep_branch, None)
     return SMCState(s.key, state, log_weights, log_ml, s.t), parents, ess, do
 
 
 def smc_step(s, kernel, constraints_t, num_particles, resampler,
-             ess_threshold):
+             ess_threshold, store_traces=True):
     """One filter step: (maybe) resample, then extend every particle."""
     key, k_res, k_gen = jax.random.split(s.key, 3)
     s, parents, ess, resampled = _resample(
@@ -101,14 +114,15 @@ def smc_step(s, kernel, constraints_t, num_particles, resampler,
         lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
     )(keys, s.state)
     new = SMCState(key, traces.retv, s.log_weights + w, s.log_ml, s.t + 1)
-    return new, (traces, parents, ess, resampled)
+    return new, (traces if store_traces else None, parents, ess, resampled)
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "num_particles", "resampling", "ess_threshold"))
+    "kernel", "num_particles", "resampling", "ess_threshold",
+    "store_traces"))
 def particle_filter(key, kernel, state0, init_constraints, step_constraints,
                     num_particles, resampling="systematic",
-                    ess_threshold=1.0):
+                    ess_threshold=1.0, store_traces=True):
     """Run the full compiled filter.
 
     Args:
@@ -121,6 +135,9 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
       resampling: 'systematic' | 'multinomial'.
       ess_threshold: resample when ESS < threshold*N (1.0 = always, matching
         the reference tests' resample-every-step usage).
+      store_traces: keep the per-step batched choice tries in the output
+        (O(T*N) memory). Disable for long filters / throughput runs where
+        only states, weights, ancestry and log-ML are needed.
 
     Returns a dict with final state, per-step ancestors/ESS, the batched
     per-step traces, and the log marginal likelihood estimate
@@ -132,7 +149,7 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
 
     def body(carry, cons_t):
         return smc_step(carry, kernel, cons_t, num_particles, resampler,
-                        ess_threshold)
+                        ess_threshold, store_traces=store_traces)
 
     s, (step_traces, parents, ess, resampled) = jax.lax.scan(
         body, s, step_constraints)
