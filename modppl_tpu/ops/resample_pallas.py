@@ -99,7 +99,9 @@ def grid_rank(s, n_in, interpret=False):
             for r in range(rows_per_block):
                 i_row = i0 + r * 128 + col  # (1, 128)
                 cmp = (vals_t <= i_row).astype(jnp.int32)  # (W, 128)
-                rows.append(jnp.sum(cmp, axis=0, keepdims=True))
+                # dtype pinned: under x64, sum(int32) would promote to int64
+                rows.append(jnp.sum(cmp, axis=0, keepdims=True,
+                                    dtype=jnp.int32))
             return cnt + jnp.concatenate(rows, axis=0)  # (rows, 128)
 
         cnt = jax.lax.fori_loop(
