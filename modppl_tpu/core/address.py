@@ -19,39 +19,68 @@ XLA compiles over.
 """
 
 import re
+from functools import lru_cache
+
+try:  # native fast path (modppl_tpu/native/addrops.c); Python fallback below
+    from modppl_tpu.native import addrops as _native
+except ImportError:  # pragma: no cover - import-order edge
+    _native = None
 
 _ADDR_RE = re.compile(r"^(.*?)/(.*)$")  # same spec as address.rs:19
 
 
-def split_addr(addr):
-    """Split at the first '/' into ('term',) or (first, rest).
-
-    Mirrors SplitAddr::from_addr (address.rs:24-37): term and first are
-    whitespace-trimmed, rest is left untouched (it is split recursively).
-    """
+def _py_split_addr(addr):
     m = _ADDR_RE.match(addr)
     if m is None:
         return (addr.strip(),)
     return (m.group(1).strip(), m.group(2))
 
 
-def normalize_addr(addr):
-    """Canonicalize separators to " / " (address.rs:39-48)."""
-    parts = split_addr(addr)
+@lru_cache(maxsize=65536)
+def _py_normalize_addr(addr):
+    parts = _py_split_addr(addr)
     if len(parts) == 1:
         return parts[0]
-    return f"{parts[0]} / {normalize_addr(parts[1])}"
+    return f"{parts[0]} / {_py_normalize_addr(parts[1])}"
 
 
-def addr_components(addr):
-    """Full component list of an address (each trimmed)."""
+@lru_cache(maxsize=65536)
+def _py_components(addr):
     out = []
     while True:
-        parts = split_addr(addr)
+        parts = _py_split_addr(addr)
         out.append(parts[0])
         if len(parts) == 1:
-            return out
+            return tuple(out)
         addr = parts[1]
+
+
+@lru_cache(maxsize=65536)
+def _py_addr_hash(addr):
+    """31-bit FNV-1a over the normalized address (same constants as the
+    native module)."""
+    h = 2166136261
+    for b in _py_normalize_addr(addr).encode():
+        h ^= b
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h & 0x7FFFFFFF
+
+
+if _native is not None:
+    split_addr = _native.split_addr
+    normalize_addr = _native.normalize_addr
+    addr_components = _native.addr_components
+    addr_hash = _native.addr_hash
+else:
+    split_addr = _py_split_addr
+    normalize_addr = _py_normalize_addr
+    addr_components = _py_components
+    addr_hash = _py_addr_hash
+
+# split_addr: split at the first '/' into ('term',) or (first, rest) —
+# mirrors SplitAddr::from_addr (address.rs:24-37). normalize_addr:
+# canonicalize separators to " / " (address.rs:39-48). addr_hash: memoized
+# 31-bit FNV-1a over the normalized form, used for PRNG key folding.
 
 
 class Selection:

@@ -26,24 +26,25 @@ TPU-native differences:
   stochastic branching goes through the masked Cond combinator instead).
 """
 
-import hashlib
-
 import jax
 
-from modppl_tpu.core.address import Selection, normalize_addr
+from modppl_tpu.core.address import Selection, addr_hash
 from modppl_tpu.core.gfi import ArgDiff, Trace
 from modppl_tpu.core.trie import Trie
 
 
 def addr_key_hash(addr):
-    """Stable 31-bit hash of a normalized address, for PRNG key folding."""
-    h = hashlib.blake2s(normalize_addr(addr).encode()).digest()
-    return int.from_bytes(h[:4], "little") & 0x7FFFFFFF
+    """Stable 31-bit hash of a normalized address, for PRNG key folding.
+
+    FNV-1a over the normalized form — memoized, with a native C fast path
+    (modppl_tpu/native); identical across the Python and C implementations.
+    """
+    return addr_hash(addr)
 
 
 def addr_subkey(key, addr):
     """Derive the per-address sampling key: fold_in(key, stable_hash(addr))."""
-    return jax.random.fold_in(key, addr_key_hash(addr))
+    return jax.random.fold_in(key, addr_hash(addr))
 
 
 class _Handler:

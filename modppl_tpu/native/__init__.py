@@ -1,0 +1,20 @@
+"""Native (C) runtime components with pure-Python fallbacks.
+
+``_addrops``: the address-layer fast path for the eager interpreter
+(memoized parse/normalize/hash). Build in-place with::
+
+    python -m modppl_tpu.native.build
+
+Import `addrops` from here — it resolves to the compiled module when the
+shared object is present, else to the Python fallback in
+modppl_tpu.core.address (identical semantics, asserted by
+tests/test_native.py).
+"""
+
+try:
+    from modppl_tpu.native import _addrops as addrops  # type: ignore
+
+    HAVE_NATIVE = True
+except ImportError:
+    addrops = None
+    HAVE_NATIVE = False

