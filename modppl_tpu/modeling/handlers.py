@@ -62,6 +62,19 @@ class _Handler:
     def trace_call(self, gen_fn, args, addr):
         raise NotImplementedError
 
+    def factor(self, logp, addr):
+        """Add an explicit log-probability factor at `addr`.
+
+        No reference counterpart (the reference's model class has no soft
+        constraints); needed for marginalized models (e.g. summing a
+        discrete gate out of the hierarchical regression so HMC/NUTS can
+        run on the continuous remainder). Semantics: the factor always
+        contributes to the trace's logjp; in generate/update/regenerate it
+        always contributes (the delta) to the weight, like a constrained
+        address.
+        """
+        raise NotImplementedError
+
     # ergonomic aliases: the reference DSL writes `dist(args) %= addr` and
     # `genfn(args) /= addr` (modppl-macros/src/address.rs:11-20).
     def trace(self, gen_fn, args, addr):
@@ -79,6 +92,9 @@ class SimulateHandler(_Handler):
         logp = dist.logpdf(x, params)
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
+
+    def factor(self, logp, addr):
+        self.tr.data.w_observe(addr, (), logp)
 
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:287-296: recursive simulate; subtrace data inserted,
@@ -112,6 +128,11 @@ class GenerateHandler(_Handler):
             logp = dist.logpdf(x, params)
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
+
+    def factor(self, logp, addr):
+        self.constraints.remove(addr)  # a factor is never "unconsumed"
+        self.tr.data.w_observe(addr, (), logp)
+        self.weight = self.weight + logp
 
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:298-320.
@@ -180,6 +201,14 @@ class UpdateHandler(_Handler):
                 self.diff = ArgDiff.UNKNOWN
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
+
+    def factor(self, logp, addr):
+        self.visitor.visit(addr)
+        self.constraints.remove(addr)
+        prev = self.tr.data.remove(addr)
+        prev_logp = prev.weight() if prev is not None else 0.0
+        self.tr.data.w_observe(addr, (), logp)
+        self.weight = self.weight + logp - prev_logp
 
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:321-391.
@@ -279,6 +308,13 @@ class RegenerateHandler(_Handler):
                 self.diff = ArgDiff.UNKNOWN
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
+
+    def factor(self, logp, addr):
+        self.visitor.visit(addr)
+        prev = self.tr.data.remove(addr)
+        prev_logp = prev.weight() if prev is not None else 0.0
+        self.tr.data.w_observe(addr, (), logp)
+        self.weight = self.weight + logp - prev_logp
 
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:393-449.

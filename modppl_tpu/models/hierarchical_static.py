@@ -80,3 +80,31 @@ def exact_hierarchical_posterior(xs, ys, noise=NOISE, p_linear=0.7,
     log_z = m + np.log(np.exp(lw_lin - m) + np.exp(lw_quad - m))
     p_lin_post = np.exp(lw_lin - log_z)
     return p_lin_post, m_lin, c_lin, m_quad, c_quad, log_z
+
+
+def make_hierarchical_marginalized(n_points, p_linear=0.7):
+    """Hierarchical model with the discrete gate summed out.
+
+    log p(ys | a,b,c) = logaddexp(log p_lin + sum_i logN(y_i; a+bx, s),
+                                  log (1-p_lin) + sum_i logN(y_i; a+bx+cx^2, s))
+    expressed through the `factor` primitive — the fully-continuous form the
+    gradient samplers (HMC/NUTS) run on. P(is_linear | ys, coeffs) can be
+    recovered in closed form from the two branch log-likelihoods.
+    """
+
+    @gen
+    def hierarchical_marginalized(h, xs, ys):
+        xs = jnp.asarray(xs)
+        ys = jnp.asarray(ys)
+        a = h.sample(normal, (0.0, 1.0), "coeffs/a")
+        b = h.sample(normal, (0.0, 1.0), "coeffs/b")
+        c = h.sample(normal, (0.0, 1.0), "coeffs/c")
+        mean_lin = a + b * xs
+        mean_quad = mean_lin + c * xs * xs
+        ll_lin = jnp.sum(normal.logpdf(ys, (mean_lin, NOISE)))
+        ll_quad = jnp.sum(normal.logpdf(ys, (mean_quad, NOISE)))
+        h.factor(jnp.logaddexp(jnp.log(p_linear) + ll_lin,
+                               jnp.log(1.0 - p_linear) + ll_quad), "ys_marginal")
+        return ll_quad - ll_lin  # log odds contribution for gate recovery
+
+    return hierarchical_marginalized
