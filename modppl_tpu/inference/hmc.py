@@ -169,39 +169,18 @@ def da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
 
 def _single_chain(key, logprob, u0_flat, num_warmup, num_samples, eps0,
                   num_leapfrog, target_accept):
+    from modppl_tpu.inference.adaptation import run_warmup
+
     grad = jax.grad(logprob)
 
-    def warm_body(carry, k):
-        u, da, inv_mass, mean, m2, n = carry
-        eps = jnp.exp(da["log_eps"])
+    def warm_transition(k, u, eps, inv_mass):
         u, _, aprob, _ = hmc_transition(k, u, logprob, grad, eps,
                                         num_leapfrog, inv_mass)
-        da = da_update(da, aprob, target=target_accept)
-        # Welford running variance for the diagonal mass estimate
-        n = n + 1.0
-        delta = u - mean
-        mean = mean + delta / n
-        m2 = m2 + delta * (u - mean)
-        return (u, da, inv_mass, mean, m2, n), aprob
+        return u, aprob
 
-    # phase A: adapt step size with identity mass
-    half = max(num_warmup // 2, 1)
-    keys_a = jax.random.split(jax.random.fold_in(key, 0), half)
-    inv_mass = jnp.ones_like(u0_flat)
-    zeros = jnp.zeros_like(u0_flat)
-    carry = (u0_flat, da_init(eps0), inv_mass, zeros, zeros, jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_a)
-    u, da, _, mean, m2, n = carry
-
-    # phase B: set mass from phase-A variance, re-adapt step size
-    var = m2 / jnp.maximum(n - 1.0, 1.0)
-    inv_mass = 1.0 / jnp.clip(var, 1e-6, 1e6)
-    keys_b = jax.random.split(jax.random.fold_in(key, 1), half)
-    carry = (u, da_init(jnp.exp(da["log_eps_bar"])), inv_mass, zeros, zeros,
-             jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_b)
-    u, da, inv_mass, *_ = carry
-    eps = jnp.exp(da["log_eps_bar"])
+    u, eps, inv_mass = run_warmup(
+        jax.random.fold_in(key, 0), u0_flat, warm_transition, num_warmup,
+        eps0, target_accept)
 
     def sample_body(u, k):
         u, logp, aprob, div = hmc_transition(k, u, logprob, grad, eps,

@@ -230,37 +230,20 @@ def nuts_transition(key, u, logp_fn, grad_fn, eps, inv_mass, max_depth=10):
 
 def _nuts_chain(key, logprob, u0_flat, num_warmup, num_samples, eps0,
                 max_depth, target_accept):
+    from modppl_tpu.inference.adaptation import run_warmup
+
     grad = jax.grad(logprob)
 
     def transition(k, u, eps, inv_mass):
         return nuts_transition(k, u, logprob, grad, eps, inv_mass, max_depth)
 
-    def warm_body(carry, k):
-        u, da, inv_mass, mean, m2, n = carry
-        eps = jnp.exp(da["log_eps"])
+    def warm_transition(k, u, eps, inv_mass):
         u, _, stats = transition(k, u, eps, inv_mass)
-        da = da_update(da, stats["accept_prob"], target=target_accept)
-        n = n + 1.0
-        delta = u - mean
-        mean = mean + delta / n
-        m2 = m2 + delta * (u - mean)
-        return (u, da, inv_mass, mean, m2, n), stats["accept_prob"]
+        return u, stats["accept_prob"]
 
-    half = max(num_warmup // 2, 1)
-    zeros = jnp.zeros_like(u0_flat)
-    inv_mass = jnp.ones_like(u0_flat)
-    carry = (u0_flat, da_init(eps0), inv_mass, zeros, zeros, jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry,
-                            jax.random.split(jax.random.fold_in(key, 0), half))
-    u, da, _, mean, m2, n = carry
-    var = m2 / jnp.maximum(n - 1.0, 1.0)
-    inv_mass = 1.0 / jnp.clip(var, 1e-6, 1e6)
-    carry = (u, da_init(jnp.exp(da["log_eps_bar"])), inv_mass, zeros, zeros,
-             jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry,
-                            jax.random.split(jax.random.fold_in(key, 1), half))
-    u, da, inv_mass, *_ = carry
-    eps = jnp.exp(da["log_eps_bar"])
+    u, eps, inv_mass = run_warmup(
+        jax.random.fold_in(key, 0), u0_flat, warm_transition, num_warmup,
+        eps0, target_accept)
 
     def sample_body(u, k):
         u, logp, stats = transition(k, u, eps, inv_mass)
