@@ -101,9 +101,11 @@ class Trie:
 
         Traced: under jit this is one fused reduction over the trace's
         per-address logp leaves — the XLA replacement for the reference's
-        incremental f64 bookkeeping.
+        incremental f64 bookkeeping. A leaf's logp may itself be an array
+        (plated sub-tries from the Map combinator store one logp per plate
+        element); leaf-local axes are summed.
         """
-        acc = self.logp
+        acc = _sum_logp(self.logp)
         for sub in self.children.values():
             acc = acc + sub.weight()
         return acc
@@ -296,6 +298,13 @@ class Trie:
         if self.is_leaf():
             return f"Trie.leaf({self.value!r}, logp={self.logp!r})"
         return f"Trie({self.as_dict()!r})"
+
+
+def _sum_logp(logp):
+    """Reduce a leaf logp over its (logical) axes; scalars pass through."""
+    if getattr(logp, "ndim", 0):
+        return jnp.sum(logp)
+    return logp
 
 
 def _values_equal(a, b):

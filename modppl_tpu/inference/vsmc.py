@@ -103,26 +103,63 @@ def _resample(key, s, resampler, ess_threshold, num_particles):
     return SMCState(s.key, state, log_weights, log_ml, s.t), parents, ess, do
 
 
+def _rejuvenate(key, traces, kernel, selection, num_moves):
+    """Resample-move rejuvenation (Gilks & Berzuini): `num_moves` compiled
+    regenerative-MH transitions per particle on the current step's choices,
+    targeting p(choices_t | prev_state, obs_t). Applied after weighting, so
+    the log-ML estimate is untouched."""
+    from modppl_tpu.core.gfi import ArgDiff
+    from modppl_tpu.inference.mcmc import tree_select
+
+    # a selection outside the kernel's address set would silently no-op
+    missing = [a for a in selection.leaf_addresses()
+               if traces.data.search(a) is None]
+    if missing:
+        raise ValueError(
+            f"rejuvenation: selection addresses {missing} not in the step "
+            f"kernel's trace (has {traces.data.addresses()})")
+
+    def one_move(k, tr):
+        k_regen, k_acc = jax.random.split(k)
+        new_tr, w = kernel.step.regenerate(
+            k_regen, tr, tr.args, ArgDiff.NO_CHANGE, selection)
+        accept = jnp.log(jax.random.uniform(k_acc, ())) < w
+        return tree_select(accept, new_tr, tr)
+
+    def moves(k, tr):
+        for r in range(num_moves):
+            tr = one_move(jax.random.fold_in(k, r), tr)
+        return tr
+
+    n = traces.logjp.shape[0]
+    keys = jax.random.split(key, n)
+    return jax.vmap(moves)(keys, traces)
+
+
 def smc_step(s, kernel, constraints_t, num_particles, resampler,
-             ess_threshold, store_traces=True):
-    """One filter step: (maybe) resample, then extend every particle."""
-    key, k_res, k_gen = jax.random.split(s.key, 3)
+             ess_threshold, store_traces=True, rejuvenation=None):
+    """One filter step: (maybe) resample, extend every particle, optionally
+    rejuvenate (resample-move)."""
+    key, k_res, k_gen, k_rej = jax.random.split(s.key, 4)
     s, parents, ess, resampled = _resample(
         k_res, s, resampler, ess_threshold, num_particles)
     keys = jax.random.split(k_gen, num_particles)
     traces, w = jax.vmap(
         lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
     )(keys, s.state)
+    if rejuvenation is not None:
+        selection, num_moves = rejuvenation
+        traces = _rejuvenate(k_rej, traces, kernel, selection, num_moves)
     new = SMCState(key, traces.retv, s.log_weights + w, s.log_ml, s.t + 1)
     return new, (traces if store_traces else None, parents, ess, resampled)
 
 
 @partial(jax.jit, static_argnames=(
     "kernel", "num_particles", "resampling", "ess_threshold",
-    "store_traces"))
+    "store_traces", "rejuvenation"))
 def particle_filter(key, kernel, state0, init_constraints, step_constraints,
                     num_particles, resampling="systematic",
-                    ess_threshold=1.0, store_traces=True):
+                    ess_threshold=1.0, store_traces=True, rejuvenation=None):
     """Run the full compiled filter.
 
     Args:
@@ -138,6 +175,9 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
       store_traces: keep the per-step batched choice tries in the output
         (O(T*N) memory). Disable for long filters / throughput runs where
         only states, weights, ancestry and log-ML are needed.
+      rejuvenation: optional (Selection, num_moves) — apply that many
+        compiled regenerative-MH moves over the selected addresses of each
+        particle's current step after weighting (resample-move).
 
     Returns a dict with final state, per-step ancestors/ESS, the batched
     per-step traces, and the log marginal likelihood estimate
@@ -149,7 +189,8 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
 
     def body(carry, cons_t):
         return smc_step(carry, kernel, cons_t, num_particles, resampler,
-                        ess_threshold, store_traces=store_traces)
+                        ess_threshold, store_traces=store_traces,
+                        rejuvenation=rejuvenation)
 
     s, (step_traces, parents, ess, resampled) = jax.lax.scan(
         body, s, step_constraints)

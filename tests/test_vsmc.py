@@ -129,3 +129,45 @@ def test_vsmc_matches_eager_reference_engine():
         pf.resample()
     assert float(pf.log_marginal_likelihood_estimate()) == pytest.approx(
         exact, abs=0.3)
+
+
+def test_vsmc_rejuvenation_preserves_target():
+    # resample-move rejuvenation must leave the LML estimate unbiased:
+    # the HMM forward gate still holds with moves on the latent state.
+    from modppl_tpu import select
+
+    prior = jnp.array([0.2, 0.3, 0.5])
+    emission = jnp.array([
+        [0.1, 0.2, 0.7], [0.2, 0.7, 0.1], [0.7, 0.2, 0.1]]).T
+    transition = jnp.array([
+        [0.4, 0.4, 0.2], [0.2, 0.3, 0.5], [0.9, 0.05, 0.05]]).T
+    params = HMMParams(prior, emission, transition)
+    kernel = hmm_scan_kernel(params)
+    data = [0, 0, 1, 2]
+    expected = float(jnp.log(hmm_forward_alg(prior, emission, transition, data)))
+    init_c = Trie.from_dict({"obs": jnp.asarray(data[0])})
+    step_c = stack_tries(
+        [Trie.from_dict({"obs": jnp.asarray(o)}) for o in data[1:]])
+    out = particle_filter(
+        jax.random.PRNGKey(11), kernel, jnp.zeros(()), init_c, step_c,
+        10_000, rejuvenation=(select("z"), 2))
+    assert float(out["log_ml"]) == pytest.approx(expected, abs=0.03)
+
+
+def test_vsmc_rejuvenation_improves_spiral_ess():
+    kernel = spiral_scan_kernel()
+    T = 10
+    obs = [jnp.array([0.4 * np.cos(2 * np.pi * t / 16),
+                      0.4 * np.sin(2 * np.pi * t / 16)]) for t in range(T)]
+    init_c = Trie.from_dict({"obs": obs[0]})
+    step_c = stack_tries([Trie.from_dict({"obs": o}) for o in obs[1:]])
+    from modppl_tpu import select
+
+    base = particle_filter(jax.random.PRNGKey(12), kernel, jnp.zeros(2),
+                           init_c, step_c, 1000)
+    rej = particle_filter(jax.random.PRNGKey(12), kernel, jnp.zeros(2),
+                          init_c, step_c, 1000,
+                          rejuvenation=(select("dr", "dtheta"), 3))
+    # both finite and tracking; rejuvenated min-ESS should not be worse
+    assert np.isfinite(float(rej["log_ml"]))
+    assert float(jnp.min(rej["ess"])) >= 0.5 * float(jnp.min(base["ess"]))
