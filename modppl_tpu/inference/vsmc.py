@@ -66,8 +66,9 @@ def smc_init(key, kernel, state0, constraints, num_particles):
     """Initialize N particles: vmapped init.generate (particle_filter.rs:59-70)."""
     k_sim, k_carry = jax.random.split(key)
     keys = jax.random.split(k_sim, num_particles)
-    traces, log_weights = jax.vmap(
-        lambda k: kernel.init.generate(k, (state0,), constraints))(keys)
+    with jax.named_scope("smc.init"):
+        traces, log_weights = jax.vmap(
+            lambda k: kernel.init.generate(k, (state0,), constraints))(keys)
     state = traces.retv
     return SMCState(k_carry, state, log_weights,
                     jnp.zeros((), log_weights.dtype),
@@ -141,15 +142,18 @@ def smc_step(s, kernel, constraints_t, num_particles, resampler,
     """One filter step: (maybe) resample, extend every particle, optionally
     rejuvenate (resample-move)."""
     key, k_res, k_gen, k_rej = jax.random.split(s.key, 4)
-    s, parents, ess, resampled = _resample(
-        k_res, s, resampler, ess_threshold, num_particles)
+    with jax.named_scope("smc.resample"):
+        s, parents, ess, resampled = _resample(
+            k_res, s, resampler, ess_threshold, num_particles)
     keys = jax.random.split(k_gen, num_particles)
-    traces, w = jax.vmap(
-        lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
-    )(keys, s.state)
+    with jax.named_scope("smc.extend"):
+        traces, w = jax.vmap(
+            lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
+        )(keys, s.state)
     if rejuvenation is not None:
         selection, num_moves = rejuvenation
-        traces = _rejuvenate(k_rej, traces, kernel, selection, num_moves)
+        with jax.named_scope("smc.rejuvenate"):
+            traces = _rejuvenate(k_rej, traces, kernel, selection, num_moves)
     new = SMCState(key, traces.retv, s.log_weights + w, s.log_ml, s.t + 1)
     return new, (traces if store_traces else None, parents, ess, resampled)
 

@@ -25,6 +25,8 @@ argument (macros/proposal.rs:4-28), here the previous trace is simply the
 first element of ``args`` — a plain immutable pytree.
 """
 
+import jax
+
 from modppl_tpu.core.gfi import ArgDiff, GenFn, Trace
 from modppl_tpu.core.trie import Trie
 from modppl_tpu.modeling.handlers import (
@@ -57,9 +59,11 @@ class Gen(GenFn):
         return f"Gen({self.__name__})"
 
     def simulate(self, key, args):
-        # dyngenfn.rs:504-514
-        g = SimulateHandler(key, Trace(args, Trie(), None, 0.0))
-        retv = self.fn(g, *_as_args_tuple(args))
+        # dyngenfn.rs:504-514. named_scope: SURVEY.md §5 tracing — per-GFI-
+        # method profiler annotations (no-op outside a jax.profiler trace).
+        with jax.named_scope(f"{self.__name__}.simulate"):
+            g = SimulateHandler(key, Trace(args, Trie(), None, 0.0))
+            retv = self.fn(g, *_as_args_tuple(args))
         trace = g.tr
         trace.set_retv(retv)
         trace.logjp = trace.data.weight()
@@ -70,7 +74,8 @@ class Gen(GenFn):
         constraints = constraints.copy()
         constraints.take_inner()  # in case constraints came from a proposal
         g = GenerateHandler(key, Trace(args, Trie(), None, 0.0), constraints)
-        retv = self.fn(g, *_as_args_tuple(args))
+        with jax.named_scope(f"{self.__name__}.generate"):
+            retv = self.fn(g, *_as_args_tuple(args))
         if not g.constraints.is_empty():
             raise ValueError(
                 "generate error: not all constraints were consumed! residual: "
@@ -88,7 +93,8 @@ class Gen(GenFn):
         # caller's trace (e.g. MH's prev_trace, mh.rs:15) stays intact.
         trace = Trace(args, trace.data.copy(), trace.retv, trace.logjp)
         g = UpdateHandler(key, trace, argdiff, constraints)
-        retv = self.fn(g, *_as_args_tuple(args))
+        with jax.named_scope(f"{self.__name__}.update"):
+            retv = self.fn(g, *_as_args_tuple(args))
         g.gc()  # subtract complement weight, move complement into discard
         if not g.constraints.is_empty():
             raise ValueError(
@@ -105,7 +111,8 @@ class Gen(GenFn):
         mask = trace.data.schema() if selection.is_leaf() else selection
         trace = Trace(args, trace.data.copy(), trace.retv, trace.logjp)
         g = RegenerateHandler(key, trace, argdiff, mask)
-        retv = self.fn(g, *_as_args_tuple(args))
+        with jax.named_scope(f"{self.__name__}.regenerate"):
+            retv = self.fn(g, *_as_args_tuple(args))
         g.gc()
         trace = g.tr
         trace.logjp = trace.data.weight()

@@ -64,7 +64,7 @@ def grid_rank(s, n_in, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((rows_per_block, 128), lambda b, c_ref: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, _W), jnp.int32),
