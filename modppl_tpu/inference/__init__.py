@@ -17,10 +17,13 @@ from modppl_tpu.inference.mh import (
     regenerative_metropolis_hastings,
 )
 from modppl_tpu.inference.smc import ParticleSystem
+from modppl_tpu.inference.smc_sampler import smc_sampler
+from modppl_tpu.inference.tempering import parallel_tempering
 
 __all__ = [
     "importance_sampling", "importance_resampling", "tree_index",
     "metropolis_hastings", "mh",
     "regenerative_metropolis_hastings", "regen_mh",
     "ParticleSystem",
+    "smc_sampler", "parallel_tempering",
 ]
