@@ -54,6 +54,18 @@ class Distribution:
         """x ~ p(.; params) using a counter-based PRNG key (distribution.rs:16)."""
         return self._sample(key, *as_param_tuple(params))
 
+    def sample_batch(self, key, shape, params):
+        """`shape` iid draws from ONE key's counter stream.
+
+        The TPU fast path for plated/batched-particle sampling: a single
+        threefry stream covers the whole batch instead of per-element
+        `split` + `fold_in` (3x fewer threefry blocks per draw at 10^6
+        particles). Scalar distributions override `_sample_batch` with
+        jax.random's natively-batched samplers; the default falls back to
+        split + vmap (identical distribution, different stream).
+        """
+        return self._sample_batch(key, shape, *as_param_tuple(params))
+
     # alias matching the reference's method name (`random`)
     def random(self, key, params):
         return self.sample(key, params)
@@ -63,6 +75,12 @@ class Distribution:
 
     def _sample(self, key, *params):
         raise NotImplementedError
+
+    def _sample_batch(self, key, shape, *params):
+        # generic fallback: split + vmap (unbatched params only)
+        assert len(shape) == 1, "generic sample_batch supports 1-D shapes"
+        keys = jax.random.split(key, shape[0])
+        return jax.vmap(lambda k: self._sample(k, *params))(keys)
 
     def __repr__(self):
         return type(self).__name__

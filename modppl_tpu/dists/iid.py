@@ -38,6 +38,11 @@ class IID(Distribution):
 
     def sample(self, key, params):
         params = as_param_tuple(params)
+        if all(getattr(p, "ndim", 0) == 0 or isinstance(p, (int, float))
+               for p in params):
+            # scalar params: one threefry stream for the whole plate (the
+            # TPU fast path — no per-element split)
+            return self.base.sample_batch(key, (self.n,), params)
         keys = jax.random.split(key, self.n)
         return jax.vmap(
             lambda k, *ps: self.base._sample(k, *ps),

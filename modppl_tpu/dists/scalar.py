@@ -41,6 +41,9 @@ class Bernoulli(Distribution):
     def _sample(self, key, p):
         return jax.random.bernoulli(key, _f(p))
 
+    def _sample_batch(self, key, shape, p):
+        return jax.random.bernoulli(key, _f(p), shape=shape)
+
 
 class UniformContinuous(Distribution):
     """Uniform on [a, b], inclusive bounds, -inf outside (uniform.rs:21-33)."""
@@ -69,6 +72,11 @@ class UniformContinuous(Distribution):
         a, b = _f(a), _f(b)
         return jax.random.uniform(key, (), dtype=a.dtype) * (b - a) + a
 
+    def _sample_batch(self, key, shape, a, b):
+        self._check(a, b)
+        a, b = _f(a), _f(b)
+        return jax.random.uniform(key, shape, dtype=a.dtype) * (b - a) + a
+
 
 class UniformDiscrete(Distribution):
     """Uniform integers on [a, b] inclusive (uniform.rs:40-53)."""
@@ -83,6 +91,9 @@ class UniformDiscrete(Distribution):
 
     def _sample(self, key, a, b):
         return jax.random.randint(key, (), a, b + 1)
+
+    def _sample_batch(self, key, shape, a, b):
+        return jax.random.randint(key, shape, a, b + 1)
 
 
 class Categorical(Distribution):
@@ -108,6 +119,10 @@ class Categorical(Distribution):
     def _sample(self, key, probs):
         return jax.random.categorical(key, jnp.log(_f(probs)), axis=-1)
 
+    def _sample_batch(self, key, shape, probs):
+        return jax.random.categorical(key, jnp.log(_f(probs)), axis=-1,
+                                      shape=shape)
+
 
 class Normal(Distribution):
     """Gaussian with (mu, std-dev) parameterization (normal.rs:12-28).
@@ -127,6 +142,11 @@ class Normal(Distribution):
         return jax.random.normal(key, jnp.broadcast_shapes(mu.shape, std.shape),
                                  dtype=mu.dtype) * std + mu
 
+    def _sample_batch(self, key, shape, mu, std):
+        mu, std = _f(mu), _f(std)
+        shape = jnp.broadcast_shapes(tuple(shape), mu.shape, std.shape)
+        return jax.random.normal(key, shape, dtype=mu.dtype) * std + mu
+
 
 class Geometric(Distribution):
     """Number of failures before the first success (geometric.rs:15-25)."""
@@ -142,7 +162,10 @@ class Geometric(Distribution):
 
     def _sample(self, key, p):
         # inverse-CDF: floor(log(u) / log(1-p)) — exact, no rejection loop.
-        u = jax.random.uniform(key, ())
+        return self._sample_batch(key, (), p)
+
+    def _sample_batch(self, key, shape, p):
+        u = jax.random.uniform(key, shape)
         return jnp.floor(jnp.log1p(-u) / jnp.log1p(-_f(p))).astype(jnp.int64
             if jax.config.jax_enable_x64 else jnp.int32)
 
@@ -162,6 +185,9 @@ class Poisson(Distribution):
     def _sample(self, key, rate):
         return jax.random.poisson(key, _f(rate))
 
+    def _sample_batch(self, key, shape, rate):
+        return jax.random.poisson(key, _f(rate), shape=shape)
+
 
 class Gamma(Distribution):
     """Gamma with (shape a, scale b) (gamma.rs:16-26):
@@ -176,6 +202,9 @@ class Gamma(Distribution):
     def _sample(self, key, a, b):
         return jax.random.gamma(key, _f(a)) * _f(b)
 
+    def _sample_batch(self, key, shape, a, b):
+        return jax.random.gamma(key, _f(a), shape=shape) * _f(b)
+
 
 class Beta(Distribution):
     """Beta(a, b) (beta.rs:16-27), computed in log space via betaln."""
@@ -188,6 +217,9 @@ class Beta(Distribution):
 
     def _sample(self, key, a, b):
         return jax.random.beta(key, _f(a), _f(b))
+
+    def _sample_batch(self, key, shape, a, b):
+        return jax.random.beta(key, _f(a), _f(b), shape=shape)
 
 
 bernoulli = Bernoulli()

@@ -26,7 +26,12 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from modppl_tpu.parallel.resample import RESAMPLERS, gather_particles
+from modppl_tpu.parallel.resample import (
+    RESAMPLERS,
+    fused_systematic_resample_or_none,
+    gather_particles,
+    systematic_parents,
+)
 from modppl_tpu.utils import effective_sample_size_from_log_weights, logsumexp
 
 
@@ -89,8 +94,16 @@ def _resample(key, s, resampler, ess_threshold, num_particles):
     do = ess < ess_threshold * num_particles
 
     def resample_branch(_):
-        parents = resampler(key, log_norm)
-        state = gather_particles(s.state, parents)
+        # TPU fast path: the fused Pallas kernel computes ancestors and the
+        # particle gather in one pass (ops/fused_resample_pallas.py) —
+        # bit-identical to the parents+gather fallback.
+        fused = (fused_systematic_resample_or_none(key, log_norm, s.state)
+                 if resampler is systematic_parents else None)
+        if fused is not None:
+            state, parents = fused
+        else:
+            parents = resampler(key, log_norm)
+            state = gather_particles(s.state, parents)
         log_weights = jnp.zeros_like(s.log_weights)
         log_ml = s.log_ml + log_total - jnp.log(float(num_particles))
         return state, log_weights, log_ml, parents
@@ -156,6 +169,75 @@ def smc_step(s, kernel, constraints_t, num_particles, resampler,
             traces = _rejuvenate(k_rej, traces, kernel, selection, num_moves)
     new = SMCState(key, traces.retv, s.log_weights + w, s.log_ml, s.t + 1)
     return new, (traces if store_traces else None, parents, ess, resampled)
+
+
+# --------------------------------------------------------------------------
+# Batched-particle tier: the particle axis as an array axis, not a vmap
+# --------------------------------------------------------------------------
+
+def batched_smc_init(key, kernel, state0, constraints, num_particles):
+    """Initialize via ONE generate over a batch-aware init model.
+
+    ``kernel.init`` receives args ``(state0, n)`` and must return a state
+    with leading axis n, sampling latents with ``plate(dist, n)`` addresses
+    (one threefry stream per address — no per-particle key splitting).
+    The generate weight must come out per-particle ``(n,)``: constrained
+    (observation) addresses score elementwise by broadcasting.
+    """
+    k_gen, k_carry = jax.random.split(key)
+    with jax.named_scope("smc.init"):
+        trace, log_weights = kernel.init.generate(
+            k_gen, (state0, num_particles), constraints)
+    return SMCState(k_carry, trace.retv, log_weights,
+                    jnp.zeros((), log_weights.dtype),
+                    jnp.ones((), jnp.int32)), trace
+
+
+def batched_smc_step(s, kernel, constraints_t, num_particles, resampler,
+                     ess_threshold):
+    """One batched filter step: (maybe) resample, ONE generate to extend."""
+    key, k_res, k_gen = jax.random.split(s.key, 3)
+    with jax.named_scope("smc.resample"):
+        s, parents, ess, resampled = _resample(
+            k_res, s, resampler, ess_threshold, num_particles)
+    with jax.named_scope("smc.extend"):
+        trace, w = kernel.step.generate(k_gen, (s.t, s.state), constraints_t)
+    new = SMCState(key, trace.retv, s.log_weights + w, s.log_ml, s.t + 1)
+    return new, (parents, ess, resampled)
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel", "num_particles", "resampling", "ess_threshold"))
+def batched_particle_filter(key, kernel, state0, init_constraints,
+                            step_constraints, num_particles,
+                            resampling="systematic", ess_threshold=1.0):
+    """Compiled filter over a *batch-aware* ScanKernel.
+
+    Unlike :func:`particle_filter` (which vmaps a per-particle kernel), the
+    models here treat the particle axis as an ordinary array axis: latents
+    are sampled with ``plate(dist, n)`` (one counter stream per address),
+    constrained scores broadcast to per-particle ``(n,)`` weights, and no
+    per-particle keys are ever split — ~3x fewer threefry blocks per step,
+    and a smaller HLO. See models/spiral.py::spiral_scan_kernel_batched.
+    """
+    resampler = RESAMPLERS[resampling]
+    s, _ = batched_smc_init(key, kernel, state0, init_constraints,
+                            num_particles)
+
+    def body(carry, cons_t):
+        return batched_smc_step(carry, kernel, cons_t, num_particles,
+                                resampler, ess_threshold)
+
+    s, (parents, ess, resampled) = jax.lax.scan(body, s, step_constraints)
+    log_ml = s.log_ml + logsumexp(s.log_weights) - jnp.log(float(num_particles))
+    return {
+        "state": s.state,
+        "log_weights": s.log_weights,
+        "log_ml": log_ml,
+        "ancestors": parents,
+        "ess": ess,
+        "resampled": resampled,
+    }
 
 
 @partial(jax.jit, static_argnames=(

@@ -94,3 +94,50 @@ def gather_particles(tree, parents):
     Replaces the O(N*T) per-particle trace clone at particle_filter.rs:109-114.
     """
     return jax.tree_util.tree_map(lambda x: jnp.take(x, parents, axis=0), tree)
+
+
+def fused_systematic_resample_or_none(key, log_normalized_weights, tree):
+    """Systematic resampling with the fused Pallas ancestor+gather kernel.
+
+    Returns ``(new_tree, parents)`` when the TPU fused kernel applies
+    (float32 leaves, small total state width, N % 256 == 0), else ``None``
+    and the caller falls back to ``systematic_parents`` + ``gather_particles``.
+    The decision is made at trace time (structure is static); results are
+    bit-identical to the fallback (same integer ancestor logic, exact
+    one-hot state copies).
+    """
+    from modppl_tpu.ops.fused_resample_pallas import (
+        MAX_STATE_DIM,
+        systematic_resample_fused,
+    )
+
+    if jax.default_backend() != "tpu":
+        return None
+    n = log_normalized_weights.shape[0]
+    if n % 256 != 0:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    widths = []
+    for leaf in leaves:
+        if leaf.dtype != jnp.float32 or leaf.ndim < 1 or leaf.shape[0] != n:
+            return None
+        widths.append(int(np_prod(leaf.shape[1:])))
+    if sum(widths) > MAX_STATE_DIM:
+        return None
+
+    rows = [leaf.reshape(n, -1).T for leaf in leaves]   # (k_i, N) each
+    state_t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    new_t, parents = systematic_resample_fused(
+        key, log_normalized_weights, state_t)
+    out_leaves, off = [], 0
+    for leaf, k in zip(leaves, widths):
+        out_leaves.append(new_t[off: off + k].T.reshape(leaf.shape))
+        off += k
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
+
+
+def np_prod(shape):
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out

@@ -1,0 +1,111 @@
+"""Batched-particle filter vs an exact Kalman log-ML oracle.
+
+The batched tier (vsmc.batched_particle_filter) executes the particle axis
+as an array axis with plate() sampling — this checks it against closed-form
+linear-Gaussian marginal likelihood, and cross-checks the vmapped tier on
+the same model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modppl_tpu import Trie, gen, normal
+from modppl_tpu.dists.plate import plate
+from modppl_tpu.inference.vsmc import (
+    ScanKernel,
+    batched_particle_filter,
+    particle_filter,
+)
+
+A, Q, R = 0.9, 0.5, 0.3   # transition coeff, process std, obs std
+
+
+@gen
+def lg_init_batched(h, _s0, n):
+    x = h.sample(plate(normal, n), (0.0, 1.0), "x")
+    h.sample(normal, (x, R), "y")        # obs constrained: logp (n,)
+    return x
+
+
+@gen
+def lg_step_batched(h, t, prev):
+    n = prev.shape[0]
+    x = h.sample(plate(normal, n), (A * prev, Q), "x")
+    h.sample(normal, (x, R), "y")
+    return x
+
+
+@gen
+def lg_init(h, _s0):
+    x = h.sample(normal, (0.0, 1.0), "x")
+    h.sample(normal, (x, R), "y")
+    return x
+
+
+@gen
+def lg_step(h, t, prev):
+    x = h.sample(normal, (A * prev, Q), "x")
+    h.sample(normal, (x, R), "y")
+    return x
+
+
+def kalman_log_ml(ys):
+    """Exact log p(y_1:T) for the scalar linear-Gaussian model."""
+    mu, var = 0.0, 1.0
+    total = 0.0
+    for t, y in enumerate(ys):
+        if t > 0:
+            mu, var = A * mu, A * A * var + Q * Q
+        s = var + R * R
+        total += -0.5 * (np.log(2 * np.pi * s) + (y - mu) ** 2 / s)
+        k = var / s
+        mu = mu + k * (y - mu)
+        var = (1 - k) * var
+    return total
+
+
+YS = np.array([0.3, 0.5, 0.1, -0.2, 0.4, 0.9, 0.7, 0.2], dtype=np.float64)
+
+
+def _constraints():
+    init_c = Trie.from_dict({"y": jnp.asarray(YS[0])})
+    step_c = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[Trie.from_dict({"y": jnp.asarray(y)}) for y in YS[1:]])
+    return init_c, step_c
+
+
+def test_batched_filter_matches_kalman():
+    init_c, step_c = _constraints()
+    out = batched_particle_filter(
+        jax.random.PRNGKey(0), ScanKernel(lg_init_batched, lg_step_batched),
+        jnp.zeros(()), init_c, step_c, 4096, ess_threshold=1.0)
+    assert out["state"].shape == (4096,)
+    assert float(out["log_ml"]) == pytest.approx(kalman_log_ml(YS), abs=0.12)
+
+
+def test_batched_and_vmapped_tiers_agree():
+    init_c, step_c = _constraints()
+    want = kalman_log_ml(YS)
+    out_b = batched_particle_filter(
+        jax.random.PRNGKey(1), ScanKernel(lg_init_batched, lg_step_batched),
+        jnp.zeros(()), init_c, step_c, 4096)
+    out_v = particle_filter(
+        jax.random.PRNGKey(1), ScanKernel(lg_init, lg_step),
+        jnp.zeros(()), init_c, step_c, 4096, store_traces=False)
+    assert float(out_b["log_ml"]) == pytest.approx(want, abs=0.12)
+    assert float(out_v["log_ml"]) == pytest.approx(want, abs=0.12)
+
+
+def test_plate_sampling_single_stream_statistics():
+    from modppl_tpu.dists.plate import plate as mk
+    d = mk(normal, 50_000)
+    xs = d.sample(jax.random.PRNGKey(2), (1.5, 2.0))
+    assert xs.shape == (50_000,)
+    assert float(jnp.mean(xs)) == pytest.approx(1.5, abs=0.05)
+    assert float(jnp.std(xs)) == pytest.approx(2.0, abs=0.05)
+    # elementwise logpdf (no sum)
+    lp = d.logpdf(xs, (1.5, 2.0))
+    assert lp.shape == (50_000,)

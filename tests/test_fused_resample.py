@@ -1,0 +1,65 @@
+"""Fused Pallas resampling kernel vs the XLA scatter+cumsum oracle.
+
+Runs in pallas interpret mode on CPU; the driver's bench exercises the
+compiled TPU path. Checks bit-identical ancestors and bitwise-exact state
+copies across weight regimes (uniform, concentrated, degenerate).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modppl_tpu.ops.fused_resample_pallas import systematic_resample_fused
+from modppl_tpu.parallel.resample import _grid_parents, _normalized_cdf
+
+
+def _oracle_parents(key, log_norm, n):
+    u = jax.random.uniform(key, (), log_norm.dtype)
+    return _grid_parents(_normalized_cdf(log_norm), u, n)
+
+
+@pytest.mark.parametrize("scale,seed", [(0.1, 0), (3.0, 1), (30.0, 2)])
+def test_fused_matches_scatter_oracle(scale, seed):
+    n = 1024
+    key = jax.random.PRNGKey(seed)
+    k_w, k_s, k_r = jax.random.split(key, 3)
+    lw = (jax.random.normal(k_w, (n,)) * scale).astype(jnp.float32)
+    lw = lw - jax.scipy.special.logsumexp(lw)
+    state = jax.random.normal(k_s, (2, n), jnp.float32)
+
+    new_state, parents = systematic_resample_fused(
+        k_r, lw, state, interpret=True)
+    want_parents = _oracle_parents(k_r, lw, n)
+    np.testing.assert_array_equal(np.asarray(parents),
+                                  np.asarray(want_parents))
+    # bitwise-exact copies
+    want_state = np.asarray(state)[:, np.asarray(want_parents)]
+    np.testing.assert_array_equal(np.asarray(new_state), want_state)
+
+
+def test_fused_degenerate_single_ancestor():
+    # all weight on one particle: every slot clones it
+    n = 512
+    lw = jnp.full((n,), -jnp.inf, jnp.float32).at[137].set(0.0)
+    # normalized form: -inf everywhere except 0 at 137
+    state = jnp.arange(2 * n, dtype=jnp.float32).reshape(2, n)
+    new_state, parents = systematic_resample_fused(
+        jax.random.PRNGKey(3), lw, state, interpret=True)
+    np.testing.assert_array_equal(np.asarray(parents), np.full(n, 137))
+    np.testing.assert_array_equal(np.asarray(new_state),
+                                  np.asarray(state)[:, np.full(n, 137)])
+
+
+def test_fused_five_state_rows():
+    n = 256
+    key = jax.random.PRNGKey(4)
+    lw = jax.random.normal(key, (n,), jnp.float32)
+    lw = lw - jax.scipy.special.logsumexp(lw)
+    state = jax.random.normal(jax.random.fold_in(key, 1), (5, n), jnp.float32)
+    new_state, parents = systematic_resample_fused(
+        jax.random.fold_in(key, 2), lw, state, interpret=True)
+    want_parents = _oracle_parents(jax.random.fold_in(key, 2), lw, n)
+    np.testing.assert_array_equal(np.asarray(parents), np.asarray(want_parents))
+    np.testing.assert_array_equal(
+        np.asarray(new_state), np.asarray(state)[:, np.asarray(want_parents)])
