@@ -27,13 +27,15 @@ def main():
     import numpy as np
 
     from modppl_tpu import Trie
-    from modppl_tpu.inference.vsmc import particle_filter
-    from modppl_tpu.models.spiral import spiral_scan_kernel
+    from modppl_tpu.inference.vsmc import batched_particle_filter
+    from modppl_tpu.models.spiral import spiral_scan_kernel_batched
 
-    num_particles = 1_000_000
+    # 2^20 particles (>= the 10^6 north star): tile-aligned so the fused
+    # Pallas resampling kernel (ancestors + gather in one pass) engages.
+    num_particles = 1 << 20
     num_steps = 10  # T: 1 init + 9 scan steps
 
-    kernel = spiral_scan_kernel()
+    kernel = spiral_scan_kernel_batched()
 
     # observations on a circle, matching the demo's geometry
     obs = []
@@ -47,10 +49,10 @@ def main():
         *[Trie.from_dict({"obs": o}) for o in obs[1:]])
 
     def run(seed):
-        out = particle_filter(
+        out = batched_particle_filter(
             jax.random.PRNGKey(seed), kernel, jnp.zeros(2, jnp.float32),
             init_c, step_c, num_particles, resampling="systematic",
-            ess_threshold=1.0, store_traces=False)
+            ess_threshold=1.0)
         return out["log_ml"]
 
     # compile + warmup

@@ -16,6 +16,7 @@ from modppl_tpu.inference.mh import (
     regen_mh,
     regenerative_metropolis_hastings,
 )
+from modppl_tpu.inference.enumerate import auto_supports, enumerate_posterior
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
 from modppl_tpu.inference.tempering import parallel_tempering
@@ -26,4 +27,5 @@ __all__ = [
     "regenerative_metropolis_hastings", "regen_mh",
     "ParticleSystem",
     "smc_sampler", "parallel_tempering",
+    "enumerate_posterior", "auto_supports",
 ]
