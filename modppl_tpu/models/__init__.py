@@ -9,6 +9,8 @@
                 (modppl/tests/pointed_model/)
 - hmm:          hand-coded sequential GenFn + exact forward algorithm
                 (modppl/tests/hmm/)
+- stochvol:     stochastic-volatility state-space family (batched-particle
+                form; extension beyond the reference)
 """
 
 from modppl_tpu.models.simple import line_model, obs_model, pointed_2d_model, \
@@ -22,6 +24,7 @@ from modppl_tpu.models.hierarchical import (
 from modppl_tpu.models.spiral import spiral_kernel, spiral_model
 from modppl_tpu.models.pointed import PointedModel, DriftProposal
 from modppl_tpu.models.hmm import HMM, HMMParams, hmm_forward_alg
+from modppl_tpu.models.stochvol import SVParams, simulate_sv, sv_scan_kernel
 
 __all__ = [
     "line_model", "obs_model", "pointed_2d_model", "pointed_2d_drift_proposal",
@@ -31,4 +34,5 @@ __all__ = [
     "spiral_kernel", "spiral_model",
     "PointedModel", "DriftProposal",
     "HMM", "HMMParams", "hmm_forward_alg",
+    "SVParams", "simulate_sv", "sv_scan_kernel",
 ]

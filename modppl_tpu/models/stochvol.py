@@ -1,0 +1,77 @@
+"""Stochastic volatility state-space model (batched-particle form).
+
+A standard SMC benchmark family (no reference counterpart — the reference's
+only state-space fixtures are the spiral kernel and the 3-state HMM):
+
+    h_0 ~ N(mu, sigma / sqrt(1 - phi^2))
+    h_t = mu + phi (h_{t-1} - mu) + sigma eps_t
+    y_t ~ N(0, beta exp(h_t / 2))
+
+Latent log-volatility h drives the observation scale, so weights are
+heavy-tailed and resampling fires often — a harder filtering workload than
+the linear-Gaussian family. Written batch-aware for
+``vsmc.batched_particle_filter`` (plate sampling, per-particle weights);
+params default to daily-returns-like values.
+"""
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from modppl_tpu.dists import normal
+from modppl_tpu.dists.plate import plate
+from modppl_tpu.modeling import gen
+
+
+@dataclass(frozen=True)
+class SVParams:
+    mu: float = -1.0      # long-run mean log-volatility
+    phi: float = 0.97     # persistence
+    sigma: float = 0.15   # vol-of-vol
+    beta: float = 1.0     # scale
+
+
+def sv_scan_kernel(params: SVParams = SVParams()):
+    """Batch-aware (init, step) pair for the batched particle filter."""
+    from modppl_tpu.inference.vsmc import ScanKernel
+
+    mu, phi, sigma, beta = params.mu, params.phi, params.sigma, params.beta
+    sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+
+    @gen
+    def sv_init(h, _state0, n):
+        hv = h.sample(plate(normal, n), (mu, sd0), "h")
+        h.sample(normal, (0.0, beta * jnp.exp(hv / 2.0)), "y")
+        return hv
+
+    @gen
+    def sv_step(h, t, prev):
+        n = prev.shape[0]
+        hv = h.sample(plate(normal, n),
+                      (mu + phi * (prev - mu), sigma), "h")
+        h.sample(normal, (0.0, beta * jnp.exp(hv / 2.0)), "y")
+        return hv
+
+    return ScanKernel(sv_init, sv_step)
+
+
+def simulate_sv(key, T, params: SVParams = SVParams()):
+    """Ground-truth (h, y) path for tests/demos."""
+    import jax
+
+    mu, phi, sigma, beta = params.mu, params.phi, params.sigma, params.beta
+    k1, k2 = jax.random.split(key)
+    eps = jax.random.normal(k1, (T,))
+    eta = jax.random.normal(k2, (T,))
+
+    def body(h_prev, inp):
+        e, n = inp
+        h = mu + phi * (h_prev - mu) + sigma * e
+        y = beta * jnp.exp(h / 2.0) * n
+        return h, (h, y)
+
+    h0 = mu + sigma / jnp.sqrt(1 - phi * phi) * eps[0]
+    y0 = beta * jnp.exp(h0 / 2.0) * eta[0]
+    _, (hs, ys) = jax.lax.scan(body, h0, (eps[1:], eta[1:]))
+    return (jnp.concatenate([jnp.array([h0]), hs]),
+            jnp.concatenate([jnp.array([y0]), ys]))
