@@ -229,3 +229,140 @@ def smc_sampler(key, model, args, observed, *, num_particles,
         "accept_rate": acc_hist,
         "betas": betas,
     }
+
+
+def adaptive_smc_sampler(key, model, args, observed, *, num_particles,
+                         target_ess=0.9, max_temps=100, num_moves=2,
+                         move="hmc", step_size=0.1, num_leapfrog=8,
+                         ess_threshold=0.5, resampling="systematic",
+                         selection=None, bisect_iters=30):
+    """Tempered SMC with an ESS-adapted temperature ladder.
+
+    Instead of a fixed schedule, each rung's increment ``delta`` is chosen
+    by bisection so that the ESS of the would-be reweighted particles is
+    ``target_ess * N`` (Jasra et al. adaptive tempering) — dense rungs where
+    the likelihood bites, coarse elsewhere. The whole sampler, including
+    the scalar bisection (a fori_loop) and the outer temperature loop (a
+    while_loop bounded by ``max_temps``), is one XLA program.
+
+    Returns the same dict as :func:`smc_sampler` plus ``num_temps`` (rungs
+    actually used); ``betas``/``ess``/``accept_rate`` are (max_temps,)
+    buffers valid up to that count (NaN-padded beyond it).
+    """
+    k_init, k_tr, k_loop = jax.random.split(key, 3)
+    init_trace, _ = model.generate(k_tr, args, observed)
+    logprior, loglik, u0_flat, unravel, constrain = make_tempered_logprobs(
+        model, args, init_trace, observed, selection)
+
+    def prior_draw(k):
+        tr = model.simulate(k, args)
+        bij = latent_bijectors(tr, observed, selection)
+        u = {addr: bij[addr].inverse(tr.data.read(addr)) for addr in bij}
+        return ravel_pytree(u)[0]
+
+    u = jax.vmap(prior_draw)(jax.random.split(k_init, num_particles))
+    resampler = RESAMPLERS[resampling]
+    loglik_v = jax.vmap(loglik)
+    fdtype = u.dtype
+    logn = jnp.log(float(num_particles))
+
+    def ess_of(lw):
+        return effective_sample_size_from_log_weights(lw - logsumexp(lw))
+
+    def pick_delta(lw, ll, beta):
+        """Largest delta <= 1 - beta keeping ESS >= target * current ESS.
+
+        The target is *relative* to the pre-reweight ESS (Jasra et al.):
+        an absolute target stalls — once ESS ~ target*N, every delta > 0
+        violates it and beta never reaches 1.
+        """
+        hi0 = 1.0 - beta
+        floor = target_ess * ess_of(lw)
+
+        def full_ok(_):
+            return hi0
+
+        def bisect(_):
+            def body(i, bounds):
+                lo, hi = bounds
+                mid = 0.5 * (lo + hi)
+                ok = ess_of(lw + mid * ll) >= floor
+                return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(
+                0, bisect_iters, body,
+                (jnp.zeros((), fdtype), hi0))
+            # lo is the certified-feasible end; never step zero
+            return jnp.maximum(lo, hi0 * 1e-6)
+
+        return jax.lax.cond(
+            ess_of(lw + hi0 * ll) >= floor, full_ok, bisect, None)
+
+    def cond_fn(carry):
+        u, lw, log_ml, beta, t, k, betas_h, ess_h, acc_h = carry
+        return (beta < 1.0) & (t < max_temps)
+
+    def body_fn(carry):
+        u, lw, log_ml, beta, t, k, betas_h, ess_h, acc_h = carry
+        k, k_res, k_move = jax.random.split(k, 3)
+        ll = loglik_v(u)
+        delta = pick_delta(lw, ll, beta)
+        beta_new = beta + delta
+        lw = lw + delta * ll
+
+        log_total = logsumexp(lw)
+        log_norm = lw - log_total
+        ess = effective_sample_size_from_log_weights(log_norm)
+
+        def do_resample(_):
+            parents = resampler(k_res, log_norm)
+            return (jnp.take(u, parents, axis=0), jnp.zeros_like(lw),
+                    log_ml + log_total - logn)
+
+        def keep(_):
+            return u, lw, log_ml
+
+        u2, lw2, log_ml2 = jax.lax.cond(
+            ess < ess_threshold * num_particles, do_resample, keep, None)
+
+        def logdens(ui):
+            return logprior(ui) + beta_new * loglik(ui)
+
+        grad_logdens = jax.grad(logdens)
+        accepts = jnp.zeros((), fdtype)
+        for m in range(num_moves):
+            km = jax.random.fold_in(k_move, m)
+            if move == "hmc":
+                u2, acc = _tempered_hmc_move(km, u2, logdens, grad_logdens,
+                                             step_size, num_leapfrog)
+            elif move == "mala":
+                u2, acc = _tempered_mala_move(km, u2, logdens, grad_logdens,
+                                              step_size)
+            else:
+                raise ValueError(f"adaptive_smc_sampler: unknown move {move!r}")
+            accepts = accepts + jnp.mean(acc.astype(fdtype))
+
+        betas_h = betas_h.at[t].set(beta_new)
+        ess_h = ess_h.at[t].set(ess)
+        acc_h = acc_h.at[t].set(accepts / max(num_moves, 1))
+        return (u2, lw2, log_ml2, beta_new, t + 1, k, betas_h, ess_h, acc_h)
+
+    nan = jnp.full((max_temps,), jnp.nan, fdtype)
+    carry = (u, jnp.zeros(num_particles, fdtype), jnp.zeros((), fdtype),
+             jnp.zeros((), fdtype), jnp.zeros((), jnp.int32), k_loop,
+             nan, nan, nan)
+    u, lw, log_ml, beta, t, _, betas_h, ess_h, acc_h = jax.lax.while_loop(
+        cond_fn, body_fn, carry)
+
+    log_ml = log_ml + logsumexp(lw) - logn
+    particles = jax.vmap(constrain)(u)
+    return {
+        "particles": particles,
+        "unconstrained": u,
+        "log_weights": lw - logsumexp(lw),
+        "log_ml": log_ml,
+        "ess": ess_h,
+        "accept_rate": acc_h,
+        "betas": betas_h,
+        "num_temps": t,
+    }

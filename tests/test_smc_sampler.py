@@ -86,3 +86,18 @@ def test_parallel_tempering_cold_chain_posterior():
     assert mus.std() == pytest.approx(_POST_STD, abs=0.06)
     # swaps must actually occur for tempering to mix
     assert float(np.mean(np.asarray(out["swap_accept"]))) > 0.1
+
+
+def test_adaptive_smc_sampler():
+    from modppl_tpu.inference.smc_sampler import adaptive_smc_sampler
+    out = adaptive_smc_sampler(
+        jax.random.PRNGKey(4), nn_model, (), OBS, num_particles=2048,
+        target_ess=0.9, num_moves=2, move="hmc", step_size=0.3)
+    nt = int(out["num_temps"])
+    assert 1 < nt < 100
+    betas = np.asarray(out["betas"])[:nt]
+    assert np.all(np.diff(betas) > 0) and betas[-1] == pytest.approx(1.0)
+    mus = np.asarray(out["particles"]["mu"])
+    w = np.exp(np.asarray(out["log_weights"]))
+    assert float((w * mus).sum()) == pytest.approx(_POST_MEAN, abs=0.05)
+    assert float(out["log_ml"]) == pytest.approx(_exact_log_ml(), abs=0.15)
