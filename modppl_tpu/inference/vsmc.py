@@ -151,18 +151,38 @@ def _rejuvenate(key, traces, kernel, selection, num_moves):
 
 
 def smc_step(s, kernel, constraints_t, num_particles, resampler,
-             ess_threshold, store_traces=True, rejuvenation=None):
+             ess_threshold, store_traces=True, rejuvenation=None,
+             proposal=None):
     """One filter step: (maybe) resample, extend every particle, optionally
-    rejuvenate (resample-move)."""
+    rejuvenate (resample-move).
+
+    With ``proposal`` (a Gen over args ``(t, state, constraints_t)``), the
+    step is a *guided* filter: the proposal's choices constrain the kernel
+    and the weight increment is ``model_weight - proposal_logjp`` — the
+    general SMC proposal identity. ``proposal=None`` is the bootstrap
+    filter (the reference's only mode, particle_filter.rs:73-95).
+    """
     key, k_res, k_gen, k_rej = jax.random.split(s.key, 4)
     with jax.named_scope("smc.resample"):
         s, parents, ess, resampled = _resample(
             k_res, s, resampler, ess_threshold, num_particles)
     keys = jax.random.split(k_gen, num_particles)
     with jax.named_scope("smc.extend"):
-        traces, w = jax.vmap(
-            lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
-        )(keys, s.state)
+        if proposal is None:
+            traces, w = jax.vmap(
+                lambda k, st: kernel.step.generate(k, (s.t, st), constraints_t)
+            )(keys, s.state)
+        else:
+            def guided(k, st):
+                k_p, k_m = jax.random.split(k)
+                pchoices, plogjp = proposal.propose(
+                    k_p, (s.t, st, constraints_t))
+                cons = constraints_t.copy()
+                cons.merge(pchoices)
+                tr, mw = kernel.step.generate(k_m, (s.t, st), cons)
+                return tr, mw - plogjp
+
+            traces, w = jax.vmap(guided)(keys, s.state)
     if rejuvenation is not None:
         selection, num_moves = rejuvenation
         with jax.named_scope("smc.rejuvenate"):
@@ -242,10 +262,11 @@ def batched_particle_filter(key, kernel, state0, init_constraints,
 
 @partial(jax.jit, static_argnames=(
     "kernel", "num_particles", "resampling", "ess_threshold",
-    "store_traces", "rejuvenation"))
+    "store_traces", "rejuvenation", "proposal"))
 def particle_filter(key, kernel, state0, init_constraints, step_constraints,
                     num_particles, resampling="systematic",
-                    ess_threshold=1.0, store_traces=True, rejuvenation=None):
+                    ess_threshold=1.0, store_traces=True, rejuvenation=None,
+                    proposal=None):
     """Run the full compiled filter.
 
     Args:
@@ -276,7 +297,7 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
     def body(carry, cons_t):
         return smc_step(carry, kernel, cons_t, num_particles, resampler,
                         ess_threshold, store_traces=store_traces,
-                        rejuvenation=rejuvenation)
+                        rejuvenation=rejuvenation, proposal=proposal)
 
     s, (step_traces, parents, ess, resampled) = jax.lax.scan(
         body, s, step_constraints)
