@@ -19,18 +19,44 @@ Semantics preserved exactly: occupied-address writes raise (trie.rs:106,126,146)
 ``merge`` prefers other's values (trie.rs:187-202), ``collect(mask)`` splits
 into (kept, collected, collected-weight) (trie.rs:221-247), ``schema()``
 produces a Selection (trie.rs:205-215).
+
+**Native core.** The reference's trie is compiled Rust; here the node type
+and its hot walk/mutate methods (search/read/observe/w_observe/insert/
+remove/weight and the inner-value ops) are a C extension type
+(modppl_tpu/native/ctrie.c) that ``Trie`` subclasses — the eager
+interpreter's per-sample trie traffic runs without Python dispatch. The
+pure-Python base below has identical semantics (asserted method-for-method
+by tests/test_native_trie.py) and is used when the extension isn't built.
 """
 
 import jax
 import jax.numpy as jnp
 
-from modppl_tpu.core.address import Selection, split_addr
+from modppl_tpu.core.address import Selection, addr_components, split_addr
 
 _EMPTY = object()  # sentinel: "no inner value" (distinct from a stored None)
 
 
-class Trie:
-    """Hierarchical choice map: children dict + optional inner value + leaf logp."""
+def _sum_logp(logp):
+    """Reduce a leaf logp over its (logical) axes; scalars pass through."""
+    if getattr(logp, "ndim", 0):
+        return jnp.sum(logp)
+    return logp
+
+
+def _values_equal(a, b):
+    try:
+        return bool(jnp.all(jnp.asarray(a) == jnp.asarray(b)))
+    except (TypeError, ValueError):
+        return a == b
+
+
+class _PyTrieBase:
+    """Pure-Python node core: the fallback for the C extension type.
+
+    Hot methods only — the long-tail API lives in ``_TrieCommon``. Kept
+    semantically identical to native/ctrie.c (same errors, same pruning).
+    """
 
     __slots__ = ("children", "value", "logp", "dist")
 
@@ -39,15 +65,6 @@ class Trie:
         self.value = _EMPTY
         self.logp = 0.0
         self.dist = None  # Distribution that sampled this leaf (static metadata)
-
-    @staticmethod
-    def leaf(value, logp=0.0, dist=None):
-        """A leaf node holding `value` with weight `logp` (trie.rs:26-32)."""
-        t = Trie()
-        t.value = value
-        t.logp = logp
-        t.dist = dist
-        return t
 
     # ---- basic structure --------------------------------------------------
 
@@ -90,10 +107,6 @@ class Trie:
             raise KeyError(msg)
         return self.value
 
-    def __iter__(self):
-        """Iterate (addr, sub-trie) over direct descendants (trie.rs:70-72)."""
-        return iter(self.children.items())
-
     # ---- weight -----------------------------------------------------------
 
     def weight(self):
@@ -114,14 +127,12 @@ class Trie:
 
     def search(self, addr):
         """Descendant node at `addr`, or None (trie.rs:90-101)."""
-        parts = split_addr(addr)
-        sub = self.children.get(parts[0])
-        if sub is None or len(parts) == 1:
-            return sub
-        return sub.search(parts[1])
-
-    def __contains__(self, addr):
-        return self.search(addr) is not None
+        node = self
+        for c in addr_components(addr):
+            node = node.children.get(c)
+            if node is None:
+                return None
+        return node
 
     def read(self, addr):
         """Inner value at `addr`; raises on a missing address (dyngenfn.rs:17-35)."""
@@ -130,14 +141,7 @@ class Trie:
             raise KeyError(f'read: failed when searching empty address "{addr}"')
         return node.expect_inner(f'read: no value found at address "{addr}"')
 
-    def __getitem__(self, addr):
-        return self.read(addr)
-
     # ---- writes -----------------------------------------------------------
-
-    def observe(self, addr, value):
-        """Store an unweighted `value` leaf at `addr`; raises if occupied (trie.rs:104-119)."""
-        self.w_observe(addr, value, 0.0)
 
     def w_observe(self, addr, value, logp, dist=None):
         """Store a weighted `value` leaf at `addr`; raises if occupied (trie.rs:122-138).
@@ -146,46 +150,97 @@ class Trie:
         static metadata used by gradient-based inference to derive
         unconstraining bijectors (no reference counterpart).
         """
-        parts = split_addr(addr)
-        if len(parts) == 1:
-            if parts[0] in self.children:
-                raise KeyError(
-                    f'w_observe: attempted to put into occupied address "{parts[0]}"')
-            self.children[parts[0]] = Trie.leaf(value, logp, dist)
-        else:
-            sub = self.children.setdefault(parts[0], Trie())
-            sub.w_observe(parts[1], value, logp, dist)
-
-    def __setitem__(self, addr, value):
-        self.observe(addr, value)
+        comps = addr_components(addr)
+        node = self
+        for c in comps[:-1]:
+            node = node.children.setdefault(c, type(self)())
+        last = comps[-1]
+        if last in node.children:
+            raise KeyError(
+                f'w_observe: attempted to put into occupied address "{last}"')
+        leaf = type(self)()
+        leaf.value = value
+        leaf.logp = logp
+        leaf.dist = dist
+        node.children[last] = leaf
 
     def insert(self, addr, sub):
         """Insert sub-trie at `addr`; raises if occupied (trie.rs:141-159)."""
-        parts = split_addr(addr)
-        if len(parts) == 1:
-            if parts[0] in self.children:
-                raise KeyError(
-                    f'insert: attempted to put into occupied address "{parts[0]}"')
-            self.children[parts[0]] = sub
-        else:
-            node = self.children.setdefault(parts[0], Trie())
-            node.insert(parts[1], sub)
+        comps = addr_components(addr)
+        node = self
+        for c in comps[:-1]:
+            node = node.children.setdefault(c, type(self)())
+        last = comps[-1]
+        if last in node.children:
+            raise KeyError(
+                f'insert: attempted to put into occupied address "{last}"')
+        node.children[last] = sub
 
     def remove(self, addr):
         """Remove and return the sub-trie at `addr`, or None (trie.rs:162-183).
 
         Empty intermediate nodes are pruned, as in the reference.
         """
-        parts = split_addr(addr)
-        if len(parts) == 1:
-            return self.children.pop(parts[0], None)
-        node = self.children.get(parts[0])
-        if node is None:
-            return None
-        sub = node.remove(parts[1])
-        if node.is_empty():
-            del self.children[parts[0]]
-        return sub
+        comps = addr_components(addr)
+        path = []
+        node = self
+        for c in comps:
+            path.append(node)
+            node = node.children.get(c)
+            if node is None:
+                return None
+        del path[-1].children[comps[-1]]
+        for i in range(len(comps) - 1, 0, -1):
+            if not path[i].is_empty():
+                break
+            del path[i - 1].children[comps[i - 1]]
+        return node
+
+
+try:
+    from modppl_tpu.native import ctrie as _native_trie
+except ImportError:  # pragma: no cover - import-order edge
+    _native_trie = None
+
+if _native_trie is not None:
+    _native_trie.configure(_EMPTY, addr_components, _sum_logp)
+    _TrieBase = _native_trie.CTrieBase
+    HAVE_NATIVE_TRIE = True
+else:
+    _TrieBase = _PyTrieBase
+    HAVE_NATIVE_TRIE = False
+
+
+class _TrieCommon:
+    """Long-tail trie API shared by the native and pure-Python bases."""
+
+    __slots__ = ()
+
+    @classmethod
+    def leaf(cls, value, logp=0.0, dist=None):
+        """A leaf node holding `value` with weight `logp` (trie.rs:26-32)."""
+        t = cls()
+        t.value = value
+        t.logp = logp
+        t.dist = dist
+        return t
+
+    def observe(self, addr, value):
+        """Store an unweighted `value` leaf at `addr`; raises if occupied (trie.rs:104-119)."""
+        self.w_observe(addr, value, 0.0)
+
+    def __iter__(self):
+        """Iterate (addr, sub-trie) over direct descendants (trie.rs:70-72)."""
+        return iter(self.children.items())
+
+    def __contains__(self, addr):
+        return self.search(addr) is not None
+
+    def __getitem__(self, addr):
+        return self.read(addr)
+
+    def __setitem__(self, addr, value):
+        self.observe(addr, value)
 
     def merge(self, other):
         """Merge `other` into self, preferring other's values (trie.rs:187-202)."""
@@ -219,9 +274,10 @@ class Trie:
         is collected.weight(). Consumes self (both results may alias self's
         nodes); matches the move semantics of the reference.
         """
-        collected = Trie()
+        cls = type(self)
+        collected = cls()
         if self.schema() == mask:
-            return Trie(), self, self.weight()
+            return cls(), self, self.weight()
         if not mask.is_leaf():
             for addr, submask in mask:
                 sub = self.remove(addr)
@@ -241,7 +297,7 @@ class Trie:
 
     def copy(self):
         """Structural copy (arrays shared — they are immutable in JAX)."""
-        t = Trie()
+        t = type(self)()
         t.value = self.value
         t.logp = self.logp
         t.dist = self.dist
@@ -257,13 +313,13 @@ class Trie:
             out[k] = v.inner() if v.is_leaf() else v.as_dict()
         return out
 
-    @staticmethod
-    def from_dict(d):
+    @classmethod
+    def from_dict(cls, d):
         """Build an unweighted Trie from a nested dict of {component: value|dict}."""
-        t = Trie()
+        t = cls()
         for k, v in d.items():
             if isinstance(v, dict):
-                t.insert(k, Trie.from_dict(v))
+                t.insert(k, cls.from_dict(v))
             else:
                 t.observe(k, v)
         return t
@@ -281,7 +337,7 @@ class Trie:
         return out
 
     def __eq__(self, other):
-        if not isinstance(other, Trie):
+        if not isinstance(other, _TrieCommon):
             return NotImplemented
         if set(self.children) != set(other.children):
             return False
@@ -294,24 +350,24 @@ class Trie:
             return False
         return all(self.children[k] == other.children[k] for k in self.children)
 
+    __hash__ = None
+
     def __repr__(self):
         if self.is_leaf():
             return f"Trie.leaf({self.value!r}, logp={self.logp!r})"
         return f"Trie({self.as_dict()!r})"
 
 
-def _sum_logp(logp):
-    """Reduce a leaf logp over its (logical) axes; scalars pass through."""
-    if getattr(logp, "ndim", 0):
-        return jnp.sum(logp)
-    return logp
+class Trie(_TrieCommon, _TrieBase):
+    """Hierarchical choice map: children dict + optional inner value + leaf logp."""
+
+    __slots__ = ()
 
 
-def _values_equal(a, b):
-    try:
-        return bool(jnp.all(jnp.asarray(a) == jnp.asarray(b)))
-    except (TypeError, ValueError):
-        return a == b
+class PurePythonTrie(_TrieCommon, _PyTrieBase):
+    """Always-Python variant, for native/pure parity tests."""
+
+    __slots__ = ()
 
 
 # ---- pytree registration ---------------------------------------------------
@@ -331,18 +387,23 @@ def _trie_flatten(t):
     return leaves, (keys, has_value, t.dist)
 
 
-def _trie_unflatten(aux, leaves):
-    keys, has_value, dist = aux
-    t = Trie()
-    t.dist = dist
-    idx = 0
-    if has_value:
-        t.value = leaves[0]
-        idx = 1
-    t.logp = leaves[idx]
-    idx += 1
-    t.children = dict(zip(keys, leaves[idx:]))
-    return t
+def _make_unflatten(cls):
+    def _trie_unflatten(aux, leaves):
+        keys, has_value, dist = aux
+        t = cls()
+        t.dist = dist
+        idx = 0
+        if has_value:
+            t.value = leaves[0]
+            idx = 1
+        t.logp = leaves[idx]
+        idx += 1
+        t.children = dict(zip(keys, leaves[idx:]))
+        return t
+
+    return _trie_unflatten
 
 
-jax.tree_util.register_pytree_node(Trie, _trie_flatten, _trie_unflatten)
+jax.tree_util.register_pytree_node(Trie, _trie_flatten, _make_unflatten(Trie))
+jax.tree_util.register_pytree_node(
+    PurePythonTrie, _trie_flatten, _make_unflatten(PurePythonTrie))

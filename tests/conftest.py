@@ -20,6 +20,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# build the native C extensions in-place if missing (cheap; pure-Python
+# fallbacks cover failure, but the suite should exercise the native path)
+try:
+    import importlib.util as _ilu
+
+    if (_ilu.find_spec("modppl_tpu.native._addrops") is None
+            or _ilu.find_spec("modppl_tpu.native._ctrie") is None):
+        from modppl_tpu.native.build import build as _build_native
+
+        _build_native()
+except Exception:
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
