@@ -82,9 +82,72 @@ def multinomial_parents(key, log_normalized_weights, num=None):
     return jnp.clip(parents, 0, n_in - 1)
 
 
+def stratified_parents(key, log_normalized_weights, num=None):
+    """Stratified ancestors: one independent uniform per output stratum.
+
+    positions_i = (u_i + i)/num with iid u_i — lower variance than
+    multinomial, slightly higher than systematic, but with N independent
+    stratification variables (useful when the single systematic uniform's
+    coupling is undesirable, e.g. for some particle-MCMC estimators).
+    Same O(N) scatter+cumsum inverse as the systematic kernel.
+    """
+    n_in = log_normalized_weights.shape[0]
+    n = num if num is not None else n_in
+    cdf = _normalized_cdf(log_normalized_weights)
+    us = jax.random.uniform(key, (n,), log_normalized_weights.dtype)
+    # first stratum index whose position (i + u_i)/n exceeds cdf_j:
+    # i >= n*cdf_j - u_i is stratum-dependent; invert by locating each cdf_j
+    # against the per-stratum positions with a searchsorted on the sorted
+    # positions (they are sorted by construction: (i + u_i) strictly
+    # increasing since u_i in [0,1)).
+    positions = (jnp.arange(n, dtype=cdf.dtype) + us) / n
+    s = jnp.searchsorted(positions, cdf, side="left").astype(jnp.int32)
+    z = jnp.zeros(n + 1, jnp.int32).at[jnp.clip(s, 0, n)].add(1)
+    parents = jnp.cumsum(z[:n])
+    return jnp.clip(parents, 0, n_in - 1)
+
+
+def residual_parents(key, log_normalized_weights, num=None):
+    """Residual-systematic resampling: deterministic floor(N w) copies plus a
+    systematic sweep over the residual weights for the R = N - sum(floor)
+    remaining slots.
+
+    Fully vectorized with static shapes even though R is data-dependent:
+    both blocks are grid-inverses (scatter + cumsum) — the deterministic
+    block on cumsum(floor(N w)), the residual block on the R-point
+    systematic grid ceil(R * resid_cdf - u) — and the blocks are stitched
+    with a shifted gather.
+    """
+    n_in = log_normalized_weights.shape[0]
+    n = num if num is not None else n_in
+    w = jnp.exp(log_normalized_weights)
+    w = w / jnp.sum(w)
+    counts = jnp.floor(n * w).astype(jnp.int32)
+    num_det = jnp.sum(counts)
+    # deterministic block: parents of slots [0, num_det) = repeat by counts
+    cum = jnp.cumsum(counts)  # S_j = first slot after particle j's copies
+    z = jnp.zeros(n + 1, jnp.int32).at[jnp.clip(cum, 0, n)].add(1)
+    det_parents = jnp.clip(jnp.cumsum(z[:n]), 0, n_in - 1)
+    # residual block: systematic sweep of R slots over the residual mass
+    resid = n * w - counts
+    r_total = jnp.asarray(n, w.dtype) - num_det.astype(w.dtype)  # R as traced
+    resid_cdf = jnp.cumsum(resid)
+    resid_cdf = resid_cdf / resid_cdf[-1]
+    u = jax.random.uniform(key, (), w.dtype)
+    s_res = jnp.clip(jnp.ceil(resid_cdf * r_total - u), 0, n).astype(jnp.int32)
+    z_res = jnp.zeros(n + 1, jnp.int32).at[s_res].add(1)
+    res_rank = jnp.clip(jnp.cumsum(z_res[:n]), 0, n_in - 1)  # rank on R-grid
+    # slots >= num_det take residual draw (k - num_det) on the R-grid
+    idx = jnp.arange(n, dtype=jnp.int32)
+    shifted = jnp.take(res_rank, jnp.clip(idx - num_det, 0, n - 1))
+    return jnp.where(idx >= num_det, shifted, det_parents)
+
+
 RESAMPLERS = {
     "multinomial": multinomial_parents,
     "systematic": systematic_parents,
+    "stratified": stratified_parents,
+    "residual": residual_parents,
 }
 
 
