@@ -17,6 +17,7 @@ from modppl_tpu.inference.mh import (
     regenerative_metropolis_hastings,
 )
 from modppl_tpu.inference.enumerate import auto_supports, enumerate_posterior
+from modppl_tpu.inference.fivo import fit_proposal, fivo_objective
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
 from modppl_tpu.inference.tempering import parallel_tempering
@@ -28,4 +29,5 @@ __all__ = [
     "ParticleSystem",
     "smc_sampler", "parallel_tempering",
     "enumerate_posterior", "auto_supports",
+    "fivo_objective", "fit_proposal",
 ]

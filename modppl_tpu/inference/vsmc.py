@@ -152,7 +152,7 @@ def _rejuvenate(key, traces, kernel, selection, num_moves):
 
 def smc_step(s, kernel, constraints_t, num_particles, resampler,
              ess_threshold, store_traces=True, rejuvenation=None,
-             proposal=None):
+             proposal=None, proposal_params=None):
     """One filter step: (maybe) resample, extend every particle, optionally
     rejuvenate (resample-move).
 
@@ -175,8 +175,9 @@ def smc_step(s, kernel, constraints_t, num_particles, resampler,
         else:
             def guided(k, st):
                 k_p, k_m = jax.random.split(k)
-                pchoices, plogjp = proposal.propose(
-                    k_p, (s.t, st, constraints_t))
+                pargs = ((s.t, st, constraints_t) if proposal_params is None
+                         else (s.t, st, constraints_t, proposal_params))
+                pchoices, plogjp = proposal.propose(k_p, pargs)
                 cons = constraints_t.copy()
                 cons.merge(pchoices)
                 tr, mw = kernel.step.generate(k_m, (s.t, st), cons)
@@ -266,7 +267,7 @@ def batched_particle_filter(key, kernel, state0, init_constraints,
 def particle_filter(key, kernel, state0, init_constraints, step_constraints,
                     num_particles, resampling="systematic",
                     ess_threshold=1.0, store_traces=True, rejuvenation=None,
-                    proposal=None):
+                    proposal=None, proposal_params=None):
     """Run the full compiled filter.
 
     Args:
@@ -297,7 +298,8 @@ def particle_filter(key, kernel, state0, init_constraints, step_constraints,
     def body(carry, cons_t):
         return smc_step(carry, kernel, cons_t, num_particles, resampler,
                         ess_threshold, store_traces=store_traces,
-                        rejuvenation=rejuvenation, proposal=proposal)
+                        rejuvenation=rejuvenation, proposal=proposal,
+                        proposal_params=proposal_params)
 
     s, (step_traces, parents, ess, resampled) = jax.lax.scan(
         body, s, step_constraints)

@@ -138,3 +138,46 @@ def test_guided_filter_optimal_proposal():
     # guided estimates are accurate and lower-variance than bootstrap
     assert np.mean(lmls_guided) == pytest.approx(want, abs=0.05)
     assert np.std(lmls_guided) < np.std(lmls_boot) + 1e-12
+
+
+@gen
+def lg_learnable_proposal(h, t, prev, cons, params):
+    y = cons.read("y")
+    m = params["w_prev"] * prev + params["w_obs"] * y + params["bias"]
+    std = jax.nn.softplus(params["raw_std"])
+    h.sample(normal, (m, std), "x")
+
+
+def test_fivo_learns_optimal_proposal():
+    from modppl_tpu.inference.fivo import fit_proposal, fivo_objective
+
+    init_c, step_c = _constraints()
+    params0 = {"w_prev": jnp.array(0.0), "w_obs": jnp.array(0.0),
+               "bias": jnp.array(0.0), "raw_std": jnp.array(0.5)}
+    # train WITHOUT resampling: the IWAE-form gradient is unbiased (the
+    # resampled filter's ancestor selection adds gradient bias)
+    params, bounds = fit_proposal(
+        jax.random.PRNGKey(0), ScanKernel(lg_init, lg_step),
+        lg_learnable_proposal, params0, jnp.zeros(()), init_c, step_c,
+        num_particles=256, num_steps=400, learning_rate=0.03, batch_size=4,
+        ess_threshold=0.0)
+    # identifiable parameters approach the analytic optimal proposal
+    prec = 1.0 / Q**2 + 1.0 / R**2
+    assert float(params["w_obs"]) == pytest.approx(1.0 / R**2 / prec, abs=0.15)
+    assert float(jax.nn.softplus(params["raw_std"])) == pytest.approx(
+        1.0 / jnp.sqrt(prec), abs=0.1)
+    # the real prize: the learned proposal slashes estimator variance and
+    # stays near the true log-ML
+    want = kalman_log_ml(YS)
+
+    def bound_stats(p):
+        ks = jax.random.split(jax.random.PRNGKey(99), 32)
+        vals = jnp.stack([fivo_objective(
+            k, ScanKernel(lg_init, lg_step), lg_learnable_proposal, p,
+            jnp.zeros(()), init_c, step_c, 256) for k in ks])
+        return float(vals.mean()), float(vals.std())
+
+    mean_tr, std_tr = bound_stats(params)
+    _, std_init = bound_stats(params0)
+    assert std_tr < 0.5 * std_init
+    assert mean_tr == pytest.approx(want, abs=0.1)
