@@ -26,15 +26,16 @@ rows (one nonzero term per column — no accumulation error; multiplying by
 1.0 and adding zeros is exact in f32) together with the ancestor index
 itself (ids row, exact in f32 for N < 2^24). The contraction runs on the
 MXU with the tiny state dimension on the sublane axis (8 rows), so the
-matmul costs 8*W*B flops per chunk instead of the 128-padded naive
+matmul costs 8*W*B flops per W-wide slab instead of the 128-padded naive
 (slots x rows) @ (rows x C) orientation.
 
 Work per block of B output slots: the S entries covering its slot range —
 located by one cheap vectorized searchsorted outside the kernel
-(scalar-prefetch) — streamed in W-wide chunks with double-buffered DMA.
-Total ~ N*(B + W) lane-compares + N*8*(1 + B/W) MXU flops. Results are
-bit-identical to the scatter+cumsum formulation (same integer logic on the
-same S).
+(scalar-prefetch) — streamed in (8, W)-tile chunks (CH = 8*W entries) with
+double-buffered DMA; every DMA moves a full sublane/lane-aligned tile
+(Mosaic rejects sub-tile slices). Total ~ N*(B + W) lane-compares +
+N*8*(1 + B/W) MXU flops. Results are bit-identical to the scatter+cumsum
+formulation (same integer logic on the same S).
 """
 
 import functools
@@ -44,9 +45,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_B = 256   # output slots per grid step
-_W = 256   # S/state entries per DMA chunk
-_ROWS = 8  # sublane rows: state components + id row, zero-padded to 8
+_B = 256        # output slots per grid step
+_W = 256        # lane width of one A sub-row / one MXU contraction slab
+_SUB = 8        # sublane rows per A-tile chunk
+_CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) tile)
+_ROWS = 8       # sublane rows of ext: state components + id row, zero-padded
 
 MAX_STATE_DIM = _ROWS - 1
 
@@ -57,9 +60,12 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
 
     Args:
       c: (NB+1,) int32 — c[b] = #{S < b*B} (block boundary ranks).
-      a_lo_pad: (A_LEN, 1) int32 — A[p] = S[p-1] (A[0] = -1), padded with
-        INT32_MAX to the chunk grid.
-      a_hi_pad: (A_LEN, 1) int32 — A[p+1], same padding.
+      a_lo_pad: (A_LEN // CH, SUB, W) int32, tile-major — A[p] = S[p-1]
+        (A[0] = -1), padded with INT32_MAX. Entry p lives at
+        [p // CH, (p % CH) // W, p % W]; every DMA moves one whole
+        (SUB, W) = (8, 256) tile, keeping both the HBM slice and the VMEM
+        destination aligned to the (8, 128) int32 tiling.
+      a_hi_pad: same layout — A[p+1], same padding.
       ext: (8, A_LEN) f32 — [state rows; ancestor ids; zeros], zero-padded.
       n: static output slot count (multiple of B).
     Returns (8, n) f32: rows 0..C-1 = resampled state, row C = ancestor ids.
@@ -69,14 +75,16 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        # DMA sources pinned to HBM: under ANY the compiler may park them in
+        # VMEM, where sub-tile slices are rejected.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((_ROWS, _B), lambda b, c_ref: (0, b)),
         scratch_shapes=[
-            pltpu.VMEM((2, _W, 1), jnp.int32),     # A[p] chunks (2 buffers)
-            pltpu.VMEM((2, _W, 1), jnp.int32),     # A[p+1] chunks
-            pltpu.VMEM((2, _ROWS, _W), jnp.float32),  # ext chunks
+            pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p] tiles (2 buffers)
+            pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p+1] tiles
+            pltpu.VMEM((2, _ROWS, _CH), jnp.float32),  # ext slabs
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -89,28 +97,26 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
         i0 = b * _B
         lo = c_ref[b]
         hi = c_ref[b + 1]
-        # D rows needed: p in [lo, hi]; chunks are W-aligned windows.
-        k0 = lo // _W
-        num_chunks = hi // _W - k0 + 1
+        # D rows needed: p in [lo, hi]; chunks are CH-aligned tile windows.
+        k0 = lo // _CH
+        num_chunks = hi // _CH - k0 + 1
 
         def copies(k, slot):
-            start = (k0 + k) * _W
+            chunk = k0 + k
             return (
                 pltpu.make_async_copy(
-                    alo_hbm.at[pl.ds(start, _W), :], alo_vmem.at[slot],
-                    alo_sem.at[slot]),
+                    alo_hbm.at[chunk], alo_vmem.at[slot], alo_sem.at[slot]),
                 pltpu.make_async_copy(
-                    ahi_hbm.at[pl.ds(start, _W), :], ahi_vmem.at[slot],
-                    ahi_sem.at[slot]),
+                    ahi_hbm.at[chunk], ahi_vmem.at[slot], ahi_sem.at[slot]),
                 pltpu.make_async_copy(
-                    ext_hbm.at[:, pl.ds(start, _W)], e_vmem.at[slot],
+                    ext_hbm.at[:, pl.ds(chunk * _CH, _CH)], e_vmem.at[slot],
                     e_sem.at[slot]),
             )
 
         for cp in copies(0, 0):
             cp.start()
 
-        i_r = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1)  # (1, B)
+        i_c = i0 + jax.lax.broadcasted_iota(jnp.int32, (_B, 1), 0)  # (B, 1)
 
         def body(k, acc):
             slot = jax.lax.rem(k, jnp.int32(2))
@@ -124,13 +130,25 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
             for cp in copies(k, slot):
                 cp.wait()
 
-            t_lo = alo_vmem[slot] <= i_r            # (W, B) ramp
-            t_hi = ahi_vmem[slot] <= i_r
-            d = (t_lo & jnp.logical_not(t_hi)).astype(jnp.float32)
-            # (8, W) @ (W, B) on the MXU; exact: one nonzero per column
-            acc = acc + jax.lax.dot_general(
-                e_vmem[slot], d, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            alo = alo_vmem[slot]                    # (SUB, W)
+            ahi = ahi_vmem[slot]
+            e = e_vmem[slot]                        # (ROWS, CH)
+            # unrolled over the tile's SUB sub-rows: each is a W-wide slab
+            for r in range(_SUB):
+                t_lo = alo[r: r + 1, :] <= i_c      # (1, W) vs (B, 1) -> (B, W)
+                t_hi = ahi[r: r + 1, :] <= i_c
+                d = (t_lo & jnp.logical_not(t_hi)).astype(jnp.float32)
+                # (ROWS, W) x (B, W) contracting on W (A @ B^T form) on the
+                # MXU; exact: one nonzero per output column. Precision
+                # HIGHEST is load-bearing — the TPU default runs f32 dots as
+                # one bf16 pass, which silently truncates the copied state
+                # mantissas (measured: ancestor ids quantized to multiples
+                # of 4 at N=2^20); full-precision passes keep the one-hot
+                # copy bitwise exact.
+                acc = acc + jax.lax.dot_general(
+                    e[:, r * _W: (r + 1) * _W], d, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             return acc
 
         acc = jax.lax.fori_loop(
@@ -166,18 +184,26 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
     cdf = jnp.cumsum(jnp.exp(log_normalized_weights))
     cdf = cdf / cdf[-1]
     s = jnp.clip(jnp.ceil(cdf * n - u), 0, n).astype(jnp.int32)
+    # XLA's parallel-prefix f32 cumsum is NOT monotone (different prefixes
+    # round through different summation trees), so s can locally invert by
+    # one slot — which breaks the one-hot interval property (a slot gets two
+    # ancestors). Exact integer cummax repairs sortedness; applied in every
+    # systematic-resampling formulation so they stay bit-identical.
+    s = jax.lax.cummax(s)
 
     nb = n // _B
     boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * _B
     c = jnp.searchsorted(s, boundaries, side="left").astype(jnp.int32)
 
     imax = jnp.iinfo(jnp.int32).max
-    a_len = ((n + 1 + _W - 1) // _W) * _W + _W
+    # room for n+1 entries plus one full spare chunk, rounded to whole tiles
+    a_len = ((n + 1 + _CH - 1) // _CH) * _CH + _CH
     # A[p] = S[p-1] with A[0] = -1; A[p+1] = S[p] (pad: +inf)
     a_lo = jnp.full((a_len,), imax, jnp.int32)
-    a_lo = a_lo.at[0].set(-1).at[1: n + 1].set(s)[:, None]
+    a_lo = (a_lo.at[0].set(-1).at[1: n + 1].set(s)
+            .reshape(a_len // _CH, _SUB, _W))
     a_hi = jnp.full((a_len,), imax, jnp.int32)
-    a_hi = a_hi.at[:n].set(s)[:, None]
+    a_hi = a_hi.at[:n].set(s).reshape(a_len // _CH, _SUB, _W)
 
     # ext column p: state of ancestor min(p, n-1) + the id itself
     ids = jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32), n - 1)

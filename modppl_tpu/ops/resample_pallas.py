@@ -130,4 +130,8 @@ def systematic_parents_pallas(key, log_normalized_weights, num=None,
     cdf = jnp.cumsum(jnp.exp(log_normalized_weights))
     cdf = cdf / cdf[-1]
     s = jnp.clip(jnp.ceil(cdf * n - u), 0, n).astype(jnp.int32)
+    # monotonicity repair (see fused_resample_pallas): f32 parallel-prefix
+    # cumsum can locally invert, and grid_rank's searchsorted block
+    # boundaries assume sorted s.
+    s = jax.lax.cummax(s)
     return grid_rank(s, n_in, interpret=interpret)

@@ -36,6 +36,11 @@ def _grid_parents(cdf, u, num):
     n_in = cdf.shape[0]
     s = jnp.ceil(cdf * num - u).astype(jnp.int32)
     s = jnp.clip(s, 0, num)
+    # monotonicity repair: XLA's parallel-prefix f32 cumsum can locally
+    # invert cdf, and the Pallas formulations of the same grid inverse
+    # (ops/resample_pallas.py, ops/fused_resample_pallas.py) require sorted
+    # S; the integer cummax is exact and keeps all three bit-identical.
+    s = jax.lax.cummax(s)
     z = jnp.zeros(num + 1, jnp.int32).at[s].add(1)
     parents = jnp.cumsum(z[:num])
     return jnp.clip(parents, 0, n_in - 1)
