@@ -18,6 +18,12 @@ from modppl_tpu.inference.mh import (
 )
 from modppl_tpu.inference.enumerate import auto_supports, enumerate_posterior
 from modppl_tpu.inference.fivo import fit_proposal, fivo_objective
+from modppl_tpu.inference.kalman import (
+    kalman_filter,
+    kalman_filter_parallel,
+    kalman_smoother,
+    kalman_smoother_parallel,
+)
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
 from modppl_tpu.inference.tempering import parallel_tempering
@@ -30,4 +36,6 @@ __all__ = [
     "smc_sampler", "parallel_tempering",
     "enumerate_posterior", "auto_supports",
     "fivo_objective", "fit_proposal",
+    "kalman_filter", "kalman_filter_parallel",
+    "kalman_smoother", "kalman_smoother_parallel",
 ]

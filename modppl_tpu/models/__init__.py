@@ -11,6 +11,9 @@
                 (modppl/tests/hmm/)
 - stochvol:     stochastic-volatility state-space family (batched-particle
                 form; extension beyond the reference)
+- lgssm:        linear-Gaussian state-space family with the exact Kalman
+                oracle, incl. the time-parallel associative-scan forms
+                (extension beyond the reference)
 """
 
 from modppl_tpu.models.simple import line_model, obs_model, pointed_2d_model, \
@@ -25,6 +28,12 @@ from modppl_tpu.models.spiral import spiral_kernel, spiral_model
 from modppl_tpu.models.pointed import PointedModel, DriftProposal
 from modppl_tpu.models.hmm import HMM, HMMParams, hmm_forward_alg
 from modppl_tpu.models.stochvol import SVParams, simulate_sv, sv_scan_kernel
+from modppl_tpu.models.lgssm import (
+    LGSSMParams,
+    lgssm_scan_kernel,
+    lgssm_simulate,
+    make_lgssm,
+)
 
 __all__ = [
     "line_model", "obs_model", "pointed_2d_model", "pointed_2d_drift_proposal",
@@ -35,4 +44,5 @@ __all__ = [
     "PointedModel", "DriftProposal",
     "HMM", "HMMParams", "hmm_forward_alg",
     "SVParams", "simulate_sv", "sv_scan_kernel",
+    "LGSSMParams", "make_lgssm", "lgssm_scan_kernel", "lgssm_simulate",
 ]
