@@ -24,6 +24,8 @@ from modppl_tpu.inference.kalman import (
     kalman_smoother,
     kalman_smoother_parallel,
 )
+from modppl_tpu.inference.mala import mala
+from modppl_tpu.inference.pmcmc import gaussian_walk_proposal, pmmh
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
 from modppl_tpu.inference.tempering import parallel_tempering
@@ -38,4 +40,6 @@ __all__ = [
     "fivo_objective", "fit_proposal",
     "kalman_filter", "kalman_filter_parallel",
     "kalman_smoother", "kalman_smoother_parallel",
+    "pmmh", "gaussian_walk_proposal",
+    "mala",
 ]

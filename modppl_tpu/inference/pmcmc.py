@@ -1,0 +1,129 @@
+"""Particle MCMC: particle-marginal Metropolis–Hastings (PMMH).
+
+Pseudo-marginal MCMC over state-space-model *parameters*: the intractable
+marginal likelihood p(y_{1:T} | theta) inside the MH ratio is replaced by
+the unbiased SMC estimate from the compiled particle filter (Andrieu,
+Doucet & Holenstein, JRSS-B 2010) — the chain still targets the exact
+parameter posterior.
+
+This composes two pieces the reference keeps separate: its MH driver
+(modppl/src/inference/mh.rs:9-40) and its particle filter
+(modppl/src/inference/particle_filter.rs), neither of which can target
+parameters of an Unfold kernel (the kernel's parameters are baked into the
+closure and no reference algorithm re-runs the filter per proposal). Here
+the whole sampler — a filter per MH step, scanned over iterations, vmapped
+over chains — compiles to one XLA program.
+
+Interface is estimator-agnostic: ``log_ml_fn(key, theta) -> float`` is any
+jittable unbiased log-marginal-likelihood estimator, typically a closure
+over :func:`modppl_tpu.inference.vsmc.particle_filter` (or the batched
+tier) with traced parameters threaded into the kernel's generative
+functions.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from modppl_tpu.inference.mcmc import tree_select
+
+
+def gaussian_walk_proposal(step_sizes):
+    """Symmetric random-walk proposal over a theta pytree.
+
+    ``step_sizes`` is a pytree (or scalar) of per-leaf standard deviations,
+    broadcast against each leaf.
+    """
+
+    def propose(key, theta):
+        leaves, treedef = jax.tree_util.tree_flatten(theta)
+        if isinstance(step_sizes, (int, float)):
+            steps = [step_sizes] * len(leaves)
+        else:
+            steps = jax.tree_util.tree_leaves(step_sizes)
+        keys = jax.random.split(key, len(leaves))
+        new = [x + s * jax.random.normal(k, jnp.shape(x),
+                                         jnp.result_type(x, float))
+               for x, s, k in zip(leaves, steps, keys)]
+        return jax.tree_util.tree_unflatten(treedef, new)
+
+    return propose
+
+
+def pmmh_kernel(log_prior_fn, log_ml_fn, proposal):
+    """One PMMH transition over carry ``(theta, log_post_hat)``.
+
+    The carried ``log_post_hat = log_prior(theta) + log_ml_hat(theta)``
+    reuses the *stored* likelihood estimate for the current point (the
+    standard pseudo-marginal construction — re-estimating it each step
+    would break exactness of the invariant distribution).
+    """
+
+    def kernel(key, carry):
+        theta, log_post = carry
+        k_prop, k_ml, k_acc = jax.random.split(key, 3)
+        theta_new = proposal(k_prop, theta)
+        lp_new = log_prior_fn(theta_new)
+        # skip the filter when the prior is -inf (out of support)
+        log_ml_new = jnp.where(
+            jnp.isfinite(lp_new), log_ml_fn(k_ml, theta_new), -jnp.inf)
+        log_post_new = lp_new + log_ml_new
+        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_post_new - log_post
+        theta = tree_select(accept, theta_new, theta)
+        log_post = jnp.where(accept, log_post_new, log_post)
+        return (theta, log_post), accept
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=(
+    "log_prior_fn", "log_ml_fn", "proposal", "num_samples", "num_chains"))
+def pmmh(key, log_prior_fn, log_ml_fn, theta0, *, num_samples,
+         num_chains=1, proposal=None, step_size=0.1):
+    """Run PMMH chains; returns dict with per-chain theta samples.
+
+    Args:
+      key: PRNG key.
+      log_prior_fn: theta pytree -> log prior density (jittable; return
+        ``-inf`` outside the support).
+      log_ml_fn: (key, theta) -> unbiased log-marginal-likelihood estimate
+        (jittable; typically a compiled particle filter).
+      theta0: initial theta pytree — unbatched; each chain perturbs it with
+        one proposal step so chains don't start identically.
+      num_samples: MH iterations per chain.
+      num_chains: parallel chains (vmapped; shard over a mesh dp axis for
+        multi-chip).
+      proposal: optional (key, theta) -> theta' symmetric proposal;
+        defaults to a Gaussian random walk with ``step_size``.
+      step_size: random-walk scale when ``proposal`` is None.
+
+    Returns: {"samples": pytree stacked (num_chains, num_samples, ...),
+              "accept_rate": (num_chains,), "final": final theta pytree,
+              "log_post": final per-chain log posterior estimates}.
+    """
+    prop = proposal if proposal is not None else gaussian_walk_proposal(step_size)
+    kernel = pmmh_kernel(log_prior_fn, log_ml_fn, prop)
+
+    def chain(key):
+        k_init, k_ml0, k_run = jax.random.split(key, 3)
+        theta_init = prop(k_init, theta0)
+        log_post0 = log_prior_fn(theta_init) + log_ml_fn(k_ml0, theta_init)
+
+        def body(carry, k):
+            carry, accept = kernel(k, carry)
+            return carry, (carry[0], accept)
+
+        keys = jax.random.split(k_run, num_samples)
+        (theta_f, log_post_f), (samples, accepts) = jax.lax.scan(
+            body, (theta_init, log_post0), keys)
+        return samples, accepts, theta_f, log_post_f
+
+    keys = jax.random.split(key, num_chains)
+    samples, accepts, theta_f, log_post_f = jax.vmap(chain)(keys)
+    return {
+        "samples": samples,
+        "accept_rate": jnp.mean(accepts.astype(jnp.float32), axis=-1),
+        "final": theta_f,
+        "log_post": log_post_f,
+    }

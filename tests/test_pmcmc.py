@@ -1,0 +1,82 @@
+"""PMMH: pseudo-marginal parameter inference for state-space models.
+
+Oracle: a 1-D LGSSM with unknown transition coefficient ``a`` — the exact
+parameter posterior is computable by quadrature over the exact Kalman
+marginal likelihood (inference/kalman.py). PMMH with the compiled particle
+filter as the likelihood estimator must recover its posterior mean.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modppl_tpu import Trie
+from modppl_tpu.inference.kalman import kalman_filter
+from modppl_tpu.inference.pmcmc import pmmh
+from modppl_tpu.inference.vsmc import particle_filter
+from modppl_tpu.models.lgssm import lgssm_scan_kernel, lgssm_simulate, make_lgssm
+
+A_TRUE = 0.7
+T = 10
+
+
+def _params(a):
+    one = jnp.ones((1, 1))
+    return make_lgssm(a * one, 0.2 * one, one, 0.3 * one,
+                      jnp.zeros(1), one)
+
+
+def _data():
+    _, ys = lgssm_simulate(jax.random.PRNGKey(0), _params(A_TRUE), T)
+    init_c = Trie.from_dict({"obs": ys[0]})
+    step_c = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[Trie.from_dict({"obs": y}) for y in ys[1:]])
+    return ys, init_c, step_c
+
+
+def test_pmmh_recovers_transition_coefficient():
+    ys, init_c, step_c = _data()
+
+    # exact posterior over a ~ Uniform(-0.99, 0.99) by quadrature
+    grid = jnp.linspace(-0.99, 0.99, 397)
+    log_mls = jax.vmap(lambda a: kalman_filter(_params(a), ys)["log_ml"])(grid)
+    w = jnp.exp(log_mls - jnp.max(log_mls))
+    exact_mean = float(jnp.sum(grid * w) / jnp.sum(w))
+
+    def log_prior(a):
+        return jnp.where(jnp.abs(a) < 0.99, 0.0, -jnp.inf)
+
+    def log_ml_fn(key, a):
+        kernel = lgssm_scan_kernel(_params(a))
+        out = particle_filter(key, kernel, jnp.zeros(1), init_c, step_c,
+                              num_particles=256, store_traces=False)
+        return out["log_ml"]
+
+    out = pmmh(jax.random.PRNGKey(1), log_prior, log_ml_fn,
+               jnp.asarray(0.2), num_samples=1200, num_chains=2,
+               step_size=0.15)
+    samples = out["samples"][:, 300:]          # burn-in
+    pm_mean = float(jnp.mean(samples))
+    accept = np.asarray(out["accept_rate"])
+    assert 0.05 < accept.min() and accept.max() < 0.9, accept
+    assert abs(pm_mean - exact_mean) < 0.07, (pm_mean, exact_mean)
+
+
+def test_pmmh_rejects_out_of_support():
+    ys, init_c, step_c = _data()
+
+    def log_prior(a):
+        return jnp.where(jnp.abs(a) < 0.3, 0.0, -jnp.inf)
+
+    def log_ml_fn(key, a):
+        a = jnp.clip(a, -0.98, 0.98)  # keep the estimator finite off-support
+        kernel = lgssm_scan_kernel(_params(a))
+        out = particle_filter(key, kernel, jnp.zeros(1), init_c, step_c,
+                              num_particles=64, store_traces=False)
+        return out["log_ml"]
+
+    out = pmmh(jax.random.PRNGKey(2), log_prior, log_ml_fn,
+               jnp.asarray(0.0), num_samples=300, num_chains=1,
+               step_size=0.2)
+    assert bool(jnp.all(jnp.abs(out["samples"]) < 0.3))
