@@ -90,3 +90,21 @@ def test_prelude_imports():
 
     assert callable(p.mh) and callable(p.nuts) and callable(p.particle_filter)
     assert p.normal is not None and p.Trie is not None
+
+
+def test_profiling_utils(tmp_path):
+    from modppl_tpu.utils.profiling import (
+        annotate, capture_trace, compiled_cost, device_time, hlo_text)
+
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    x = jnp.arange(64.0)
+    with annotate("test.phase"):
+        r, secs = device_time(f, x)
+    assert float(r) == pytest.approx(float(jnp.sum(x * x)))
+    assert secs > 0.0
+    cost = compiled_cost(lambda x: x @ x, jnp.ones((16, 16)))
+    assert isinstance(cost, dict) and cost  # flops / bytes accessed entries
+    assert "HloModule" in hlo_text(lambda x: x + 1.0, x)
+    with capture_trace(str(tmp_path / "trace")):
+        jax.block_until_ready(f(x))
+    assert any((tmp_path / "trace").rglob("*"))
