@@ -55,8 +55,23 @@ def main():
             ess_threshold=1.0)
         return out["log_ml"]
 
-    # compile + warmup
-    jax.block_until_ready(run(0))
+    # compile + warmup; if the fused Pallas kernel trips a Mosaic/toolchain
+    # regression, retry on the bit-identical plain-XLA resampling path
+    # (the env gate is read at trace time, so the retry retraces cleanly)
+    import os
+    try:
+        jax.block_until_ready(run(0))
+    except Exception as e:
+        print(f"# fused-resample compile failed ({type(e).__name__}); "
+              "falling back to the XLA resampling path", file=sys.stderr)
+        os.environ["MODPPL_DISABLE_FUSED_RESAMPLE"] = "1"
+        try:
+            jax.block_until_ready(run(0))
+        except Exception as e2:
+            print(f"# rank-kernel compile failed ({type(e2).__name__}); "
+                  "falling back to pure-XLA resampling", file=sys.stderr)
+            os.environ["MODPPL_DISABLE_PALLAS_RESAMPLE"] = "1"
+            jax.block_until_ready(run(0))
     # timed
     times = []
     for i in range(3):

@@ -56,9 +56,12 @@ def systematic_parents(key, log_normalized_weights, num=None):
     (ops/resample_pallas.py) — bit-identical to the XLA scatter formulation
     and ~6x faster (the scatter serializes on the TPU scalar core).
     """
+    import os
+
     n_in = log_normalized_weights.shape[0]
     n = num if num is not None else n_in
-    if jax.default_backend() == "tpu" and n % 1024 == 0:
+    if (jax.default_backend() == "tpu" and n % 1024 == 0
+            and not os.environ.get("MODPPL_DISABLE_PALLAS_RESAMPLE")):
         from modppl_tpu.ops.resample_pallas import systematic_parents_pallas
         return systematic_parents_pallas(key, log_normalized_weights, num=n)
     u = jax.random.uniform(key, (), log_normalized_weights.dtype)
@@ -174,11 +177,17 @@ def fused_systematic_resample_or_none(key, log_normalized_weights, tree):
     bit-identical to the fallback (same integer ancestor logic, exact
     one-hot state copies).
     """
+    import os
+
     from modppl_tpu.ops.fused_resample_pallas import (
         MAX_STATE_DIM,
         systematic_resample_fused,
     )
 
+    # escape hatch for Mosaic/toolchain regressions: the plain XLA path is
+    # bit-identical, just slower
+    if os.environ.get("MODPPL_DISABLE_FUSED_RESAMPLE"):
+        return None
     if jax.default_backend() != "tpu":
         return None
     n = log_normalized_weights.shape[0]
