@@ -25,6 +25,7 @@ from modppl_tpu.inference.kalman import (
     kalman_smoother_parallel,
 )
 from modppl_tpu.inference.mala import mala
+from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
 from modppl_tpu.inference.pmcmc import gaussian_walk_proposal, pmmh
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
@@ -42,4 +43,5 @@ __all__ = [
     "kalman_smoother", "kalman_smoother_parallel",
     "pmmh", "gaussian_walk_proposal",
     "mala",
+    "particle_gibbs", "csmc_sweep",
 ]

@@ -20,6 +20,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_runtime(coordinator_address=None, num_processes=None,
+                       process_id=None, **kwargs):
+    """Bring up the multi-host JAX distributed runtime (idempotent).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on TPU pods the
+    arguments are auto-detected from the environment, so call with no
+    arguments in each host process before building a global mesh. Safe to
+    call when already initialized or in single-process runs (no-op).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+    except ValueError:
+        # single-process environment with nothing auto-detectable and no
+        # explicit coordinator: not a distributed run — proceed locally
+        if coordinator_address is not None or num_processes is not None:
+            raise
+
+
+def global_mesh(dp=None, sp=1):
+    """(dp, sp) mesh over ALL devices across every participating host
+    (``jax.devices()`` is global once the distributed runtime is up)."""
+    return make_mesh(dp=dp, sp=sp, devices=jax.devices())
+
+
 def make_mesh(dp=None, sp=1, devices=None):
     """Build a (dp, sp) mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()

@@ -21,7 +21,14 @@ from modppl_tpu.inference import (
     tree_index,
 )
 from modppl_tpu.inference.hmc import hmc
+from modppl_tpu.inference.kalman import (
+    kalman_filter, kalman_filter_parallel, kalman_smoother,
+    kalman_smoother_parallel,
+)
+from modppl_tpu.inference.mala import mala
 from modppl_tpu.inference.nuts import nuts
+from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
+from modppl_tpu.inference.pmcmc import gaussian_walk_proposal, pmmh
 from modppl_tpu.inference.vi import advi
 from modppl_tpu.inference.vsmc import ScanKernel, particle_filter
 from modppl_tpu.modeling.combinators import Cond, Switch, tree_select
@@ -38,6 +45,9 @@ __all__ = [
     "ParticleSystem", "importance_sampling", "importance_resampling",
     "metropolis_hastings", "mh", "regenerative_metropolis_hastings",
     "regen_mh", "tree_index",
-    "hmc", "nuts", "advi", "ScanKernel", "particle_filter",
+    "hmc", "nuts", "mala", "advi", "ScanKernel", "particle_filter",
+    "pmmh", "gaussian_walk_proposal", "particle_gibbs", "csmc_sweep",
+    "kalman_filter", "kalman_filter_parallel", "kalman_smoother",
+    "kalman_smoother_parallel",
     "Cond", "Switch", "tree_select", "Unfold",
 ]
