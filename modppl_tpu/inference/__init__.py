@@ -25,6 +25,7 @@ from modppl_tpu.inference.kalman import (
     kalman_smoother_parallel,
 )
 from modppl_tpu.inference.mala import mala
+from modppl_tpu.inference.vi import advi, advi_fullrank
 from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
 from modppl_tpu.inference.pmcmc import gaussian_walk_proposal, pmmh
 from modppl_tpu.inference.smc import ParticleSystem
@@ -44,4 +45,5 @@ __all__ = [
     "pmmh", "gaussian_walk_proposal",
     "mala",
     "particle_gibbs", "csmc_sweep",
+    "advi", "advi_fullrank",
 ]

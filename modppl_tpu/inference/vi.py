@@ -1,10 +1,12 @@
-"""Variational inference: mean-field ADVI.
+"""Variational inference: mean-field and full-rank ADVI.
 
 Extension target beyond the reference (BASELINE.json north star). The ELBO
 is built from the same unconstrained log-joint as HMC
 (inference/hmc.make_unconstrained_logprob); the variational family is a
-diagonal Gaussian in unconstrained space with the reparameterization
-gradient, optimized with optax.adam under one jitted lax.scan.
+Gaussian in unconstrained space — diagonal (:func:`advi`) or full-rank
+Cholesky (:func:`advi_fullrank`, which captures posterior correlations) —
+with the reparameterization gradient, optimized with optax.adam under one
+jitted lax.scan.
 """
 
 import jax
@@ -70,6 +72,77 @@ def advi(key, model, args, observed, *, num_steps=2000, num_mc=8,
     return {
         "mu": mu,
         "log_sigma": log_sigma,
+        "elbo": elbos,
+        "sample": sample,
+        "bijectors": bijectors,
+        "unravel": unravel,
+    }
+
+
+def advi_fullrank(key, model, args, observed, *, num_steps=2000, num_mc=8,
+                  learning_rate=1e-2, selection=None, init_trace=None):
+    """Full-rank ADVI: q = N(mu, L L^T) with L a learned Cholesky factor.
+
+    Captures posterior correlations that the mean-field family cannot;
+    entropy H[q] = 0.5 d (1 + log 2pi) + sum log diag(L). Returns the same
+    interface as :func:`advi` plus ``chol`` (the learned L).
+    """
+    k_init, k_opt = jax.random.split(key)
+    if init_trace is None:
+        init_trace, _ = model.generate(k_init, args, observed)
+    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
+        model, args, init_trace, observed, selection)
+    u0_flat, unravel = ravel_pytree(u0)
+    dim = u0_flat.shape[0]
+    il, jl = jnp.tril_indices(dim)
+
+    def build_chol(params_l):
+        # strictly-lower entries free; diagonal through exp for positivity
+        L = jnp.zeros((dim, dim), params_l.dtype).at[il, jl].set(params_l)
+        diag = jnp.exp(jnp.diagonal(L))
+        return L - jnp.diag(jnp.diagonal(L)) + jnp.diag(diag)
+
+    def logprob_flat(u_flat):
+        return logprob(unravel(u_flat))
+
+    def elbo(params, k):
+        mu, params_l = params
+        L = build_chol(params_l)
+        eps = jax.random.normal(k, (num_mc, dim), mu.dtype)
+        zs = mu[None, :] + eps @ L.T
+        e_logp = jnp.mean(jax.vmap(logprob_flat)(zs))
+        entropy = (0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi))
+                   + jnp.sum(jnp.log(jnp.diagonal(L))))
+        return e_logp + entropy
+
+    params_l0 = jnp.zeros((dim * (dim + 1)) // 2, u0_flat.dtype)
+    params_l0 = params_l0.at[jnp.where(il == jl)[0]].set(-2.0)
+    params = (u0_flat, params_l0)
+    schedule = optax.exponential_decay(
+        learning_rate, max(num_steps, 1), 1.0 / 30.0)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+
+    def step(carry, k):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(lambda p: -elbo(p, k))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), -loss
+
+    keys = jax.random.split(k_opt, num_steps)
+    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
+    mu, params_l = params
+    L = build_chol(params_l)
+
+    def sample(key, num):
+        eps = jax.random.normal(key, (num, dim), mu.dtype)
+        zs = mu[None, :] + eps @ L.T
+        return jax.vmap(lambda z: constrain(unravel(z)))(zs)
+
+    return {
+        "mu": mu,
+        "chol": L,
         "elbo": elbos,
         "sample": sample,
         "bijectors": bijectors,

@@ -102,3 +102,30 @@ def test_advi_conjugate_posterior():
     assert float(jnp.mean(out["elbo"][-100:])) == pytest.approx(exact, abs=0.05)
     samples = out["sample"](jax.random.PRNGKey(5), 4000)
     assert float(jnp.mean(samples["mu"])) == pytest.approx(0.5, abs=0.05)
+
+
+def test_advi_fullrank_captures_correlation():
+    """Correlated 2-D Gaussian posterior: mean-field cannot represent the
+    off-diagonal; full-rank must recover it."""
+    from modppl_tpu.inference.vi import advi_fullrank
+
+    @gen
+    def corr_model(h):
+        a = h.sample(normal, (0.0, 1.0), "a")
+        b = h.sample(normal, (a, 0.5), "b")
+        h.sample(normal, (a + b, 0.3), "y")
+
+    obs = Trie.from_dict({"y": 1.0})
+    out = advi_fullrank(jax.random.PRNGKey(0), corr_model, (), obs,
+                        num_steps=4000, num_mc=16, learning_rate=2e-2)
+    cov_q = np.asarray(out["chol"] @ out["chol"].T)
+
+    # exact posterior precision of (a, b): prior + likelihood quadratics
+    # logp = -a^2/2 - (b-a)^2/(2*.25) - (1-a-b)^2/(2*.09)
+    prec = np.array([[1 + 4 + 1 / 0.09, -4 + 1 / 0.09],
+                     [-4 + 1 / 0.09, 4 + 1 / 0.09]])
+    cov_exact = np.linalg.inv(prec)
+    np.testing.assert_allclose(cov_q, cov_exact, atol=0.05)
+    # and the posterior mean
+    mean_exact = cov_exact @ np.array([1 / 0.09, 1 / 0.09])
+    np.testing.assert_allclose(np.asarray(out["mu"]), mean_exact, atol=0.05)
