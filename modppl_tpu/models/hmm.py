@@ -36,6 +36,71 @@ def hmm_forward_alg(prior, emission_dists, transition_dists, observations):
     return marginal_likelihood
 
 
+@jax.jit
+def hmm_forward_log_ml(prior, emission_dists, transition_dists, observations):
+    """Compiled log marginal likelihood: lax.scan over time in log space.
+
+    Same recursion as :func:`hmm_forward_alg` but numerically stable for
+    long sequences (log-space normalization) and jittable (observations as
+    a traced int array).
+    """
+    log_prior = jnp.log(jnp.asarray(prior))
+    log_e = jnp.log(jnp.asarray(emission_dists))
+    log_t = jnp.log(jnp.asarray(transition_dists))
+
+    def step(log_alpha, obs):
+        scored = log_alpha + log_e[obs, :]
+        evidence = jax.scipy.special.logsumexp(scored)
+        post = scored - evidence
+        log_alpha = jax.scipy.special.logsumexp(log_t + post[None, :], axis=1)
+        return log_alpha, evidence
+
+    _, evidences = jax.lax.scan(step, log_prior,
+                                jnp.asarray(observations, jnp.int32))
+    return jnp.sum(evidences)
+
+
+@jax.jit
+def hmm_forward_log_ml_parallel(prior, emission_dists, transition_dists,
+                                observations):
+    """Time-parallel forward algorithm via ``jax.lax.associative_scan``.
+
+    The discrete analog of the parallel Kalman filter
+    (inference/kalman.py): the forward recursion
+    alpha_t = diag(e[obs_t]) @ T @ alpha_{t-1} is a chain of matrix
+    products, which compose associatively — prefix products (each
+    max-normalized, with the log scale carried separately to avoid
+    underflow) run in O(log T) depth, and the log-ML is the accumulated
+    scale plus the final reduction against alpha_0.
+    """
+    prior = jnp.asarray(prior)
+    e = jnp.asarray(emission_dists)
+    t_mat = jnp.asarray(transition_dists)
+    obs = jnp.asarray(observations, jnp.int32)
+
+    alpha0 = e[obs[0], :] * prior
+    if obs.shape[0] == 1:
+        return jnp.log(jnp.sum(alpha0))
+
+    # M_t = diag(e[obs_t]) @ T for t = 1..T-1
+    Ms = e[obs[1:]][:, :, None] * t_mat[None, :, :]
+    norms = jnp.max(Ms, axis=(1, 2))
+    mats = Ms / norms[:, None, None]
+    scales = jnp.log(norms)
+
+    def assoc(earlier, later):
+        # composite of an earlier time range followed by a later one:
+        # product applies the later matrices on the LEFT
+        se, me = earlier
+        sl, ml = later
+        m = ml @ me
+        norm = jnp.max(m)
+        return se + sl + jnp.log(norm), m / norm
+
+    s_fin, m_fin = jax.lax.associative_scan(assoc, (scales, mats))
+    return s_fin[-1] + jnp.log(jnp.sum(m_fin[-1] @ alpha0))
+
+
 class HMMParams:
     """(hmm/model.rs:8-25)"""
 

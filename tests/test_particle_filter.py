@@ -65,3 +65,31 @@ def test_particle_filter_lml_vs_forward():
         pf.resample()
     lml = float(pf.log_marginal_likelihood_estimate())
     assert lml == pytest.approx(expected, abs=0.25)
+
+
+def test_forward_log_ml_compiled_and_parallel():
+    """Compiled (lax.scan) and time-parallel (associative_scan) forward
+    algorithms agree with the eager oracle (hmm/forward.rs:3-23) exactly."""
+    from modppl_tpu.models.hmm import (
+        hmm_forward_log_ml, hmm_forward_log_ml_parallel)
+
+    prior = np.array([0.2, 0.3, 0.5])
+    emission = np.array([
+        [0.1, 0.2, 0.7],
+        [0.2, 0.7, 0.1],
+        [0.7, 0.2, 0.1],
+    ]).T
+    transition = np.array([
+        [0.4, 0.4, 0.2],
+        [0.2, 0.3, 0.5],
+        [0.9, 0.05, 0.05],
+    ]).T
+    data = [0, 0, 1, 2, 1, 0, 2, 2]
+
+    exact = float(jnp.log(hmm_forward_alg(prior, emission, transition, data)))
+    seq = float(hmm_forward_log_ml(
+        prior, emission, transition, jnp.asarray(data)))
+    par = float(hmm_forward_log_ml_parallel(
+        prior, emission, transition, jnp.asarray(data)))
+    assert abs(seq - exact) < 1e-12
+    assert abs(par - exact) < 1e-12
