@@ -117,9 +117,8 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
             cp.start()
 
         i_c = i0 + jax.lax.broadcasted_iota(jnp.int32, (_B, 1), 0)  # (B, 1)
-        out_ref[...] = jnp.zeros((_ROWS, _B), jnp.float32)
 
-        def body(k, _):
+        def body(k, acc):
             slot = jax.lax.rem(k, jnp.int32(2))
             nxt = jax.lax.rem(k + jnp.int32(1), jnp.int32(2))
 
@@ -131,40 +130,30 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
             for cp in copies(k, slot):
                 cp.wait()
 
-            base = (k0 + k) * _CH
-            # unrolled over the tile's SUB sub-rows: each is a W-wide slab.
-            # Only rows p in [lo, hi] can contribute to this block, and a
-            # block typically spans ~B entries of S, so of the CH = SUB*W
-            # entries streamed per tile only ~(B/W + 1) sub-rows are live —
-            # the scalar overlap gate skips the compare + MXU work of the
-            # rest (measured 79% of total filter time before gating).
+            alo = alo_vmem[slot]                    # (SUB, W)
+            ahi = ahi_vmem[slot]
+            e = e_vmem[slot]                        # (ROWS, CH)
+            # unrolled over the tile's SUB sub-rows: each is a W-wide slab
             for r in range(_SUB):
-                start = base + r * _W
+                t_lo = alo[r: r + 1, :] <= i_c      # (1, W) vs (B, 1) -> (B, W)
+                t_hi = ahi[r: r + 1, :] <= i_c
+                d = (t_lo & jnp.logical_not(t_hi)).astype(jnp.float32)
+                # (ROWS, W) x (B, W) contracting on W (A @ B^T form) on the
+                # MXU; exact: one nonzero per output column. Precision
+                # HIGHEST is load-bearing — the TPU default runs f32 dots as
+                # one bf16 pass, which silently truncates the copied state
+                # mantissas (measured: ancestor ids quantized to multiples
+                # of 4 at N=2^20); full-precision passes keep the one-hot
+                # copy bitwise exact.
+                acc = acc + jax.lax.dot_general(
+                    e[:, r * _W: (r + 1) * _W], d, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            return acc
 
-                @pl.when((hi >= start) & (lo < start + _W))
-                def _(r=r):
-                    alo = alo_vmem[slot]            # (SUB, W)
-                    ahi = ahi_vmem[slot]
-                    e = e_vmem[slot]                # (ROWS, CH)
-                    t_lo = alo[r: r + 1, :] <= i_c  # (1, W) vs (B, 1) -> (B, W)
-                    t_hi = ahi[r: r + 1, :] <= i_c
-                    d = (t_lo & jnp.logical_not(t_hi)).astype(jnp.float32)
-                    # (ROWS, W) x (B, W) contracting on W (A @ B^T form) on
-                    # the MXU; exact: one nonzero per output column.
-                    # Precision HIGHEST is load-bearing — the TPU default
-                    # runs f32 dots as one bf16 pass, which silently
-                    # truncates the copied state mantissas (measured:
-                    # ancestor ids quantized to multiples of 4 at N=2^20);
-                    # full-precision passes keep the one-hot copy bitwise
-                    # exact.
-                    out_ref[...] += jax.lax.dot_general(
-                        e[:, r * _W: (r + 1) * _W], d,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, body, 0)
+        acc = jax.lax.fori_loop(
+            0, num_chunks, body, jnp.zeros((_ROWS, _B), jnp.float32))
+        out_ref[...] = acc
 
     return pl.pallas_call(
         kernel,
