@@ -26,7 +26,8 @@ from modppl_tpu.models.hierarchical import (
 )
 from modppl_tpu.models.spiral import spiral_kernel, spiral_model
 from modppl_tpu.models.pointed import PointedModel, DriftProposal
-from modppl_tpu.models.hmm import HMM, HMMParams, hmm_forward_alg
+from modppl_tpu.models.hmm import (HMM, HMMParams, hmm_forward_alg,
+    hmm_forward_log_ml, hmm_forward_log_ml_parallel)
 from modppl_tpu.models.stochvol import SVParams, simulate_sv, sv_scan_kernel
 from modppl_tpu.models.lgssm import (
     LGSSMParams,
@@ -43,6 +44,7 @@ __all__ = [
     "spiral_kernel", "spiral_model",
     "PointedModel", "DriftProposal",
     "HMM", "HMMParams", "hmm_forward_alg",
+    "hmm_forward_log_ml", "hmm_forward_log_ml_parallel",
     "SVParams", "simulate_sv", "sv_scan_kernel",
     "LGSSMParams", "make_lgssm", "lgssm_scan_kernel", "lgssm_simulate",
 ]
