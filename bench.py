@@ -1,14 +1,21 @@
-"""Benchmark harness: one JSON line on stdout.
+"""Benchmark harness: two JSON lines on stdout (one per headline metric).
 
-Workload: the reference's headline SMC demo (spiral tracking,
-modppl/tests/smc.rs:49-92 / dyngenfns/unfold.rs) scaled to the BASELINE.json
-north star — 10^6 particles — run as one compiled XLA program
-(vmap particles x lax.scan time, systematic resampling every step).
+1. SMC particles/s/chip — the reference's headline SMC demo (spiral
+   tracking, modppl/tests/smc.rs:49-92 / dyngenfns/unfold.rs) scaled to
+   the BASELINE.json north star — 10^6 particles — run as one compiled
+   XLA program (vmap particles x lax.scan time, systematic resampling
+   every step).
+2. HMC ESS/s/chip (BASELINE.json metric + configs[3]) — 10^4 vmapped
+   chains with pooled dual-averaging adaptation on the hierarchical model
+   (quadratic branch conditioned, so the continuous (a, b, c) posterior is
+   exact-tractable); ESS via Geyer initial-monotone-sequence autocorrelation
+   on the b coefficient, divided by total wall time (warmup + sampling).
+   On TPU the quadratic target auto-dispatches to the fused Pallas
+   leapfrog+logprob kernel (ops/leapfrog_pallas.py).
 
-Metric: particle-steps/s on one chip. vs_baseline is measured against
-1e6 particle-steps/s — the north-star scale of a 10^6-particle SMC
-advancing one step per second per chip (the reference publishes no
-throughput numbers at all; BASELINE.md rows are correctness tolerances).
+vs_baseline for both lines is measured against a 1e6/s north-star scale
+(the reference publishes no throughput numbers at all; BASELINE.md rows
+are correctness tolerances).
 
 Runs on whatever the default JAX platform is (the real TPU chip under the
 driver; CPU as a fallback). Keep x64 OFF here — f32 is the TPU compute
@@ -21,6 +28,59 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def bench_hmc():
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.hmc import hmc
+    from modppl_tpu.models.hierarchical_static import (
+        NOISE,
+        make_hierarchical_static,
+    )
+    from modppl_tpu.utils.diagnostics import ess_autocorr
+
+    n_points = 10
+    xs = jnp.linspace(-1.0, 1.0, n_points)
+    ys = jnp.asarray(0.3 + 0.5 * xs - 0.8 * xs * xs
+                     + NOISE * np.random.default_rng(0).standard_normal(
+                         n_points), jnp.float32)
+    model = make_hierarchical_static(n_points)
+    observed = Trie.from_dict({"ys": ys, "is_linear": False})
+
+    num_chains = 10_000
+    num_warmup, num_samples = 300, 500
+
+    def run(seed):
+        return hmc(jax.random.PRNGKey(seed), model, (xs,), observed,
+                   num_samples=num_samples, num_warmup=num_warmup,
+                   num_chains=num_chains, num_leapfrog=8)
+
+    out = run(0)  # compile + warmup
+    jax.block_until_ready(out["unconstrained"])
+    t0 = time.perf_counter()
+    out = run(1)
+    jax.block_until_ready(out["unconstrained"])
+    wall = time.perf_counter() - t0
+
+    b_samples = np.asarray(out["samples"]["coeffs / b"])  # (chains, draws)
+    ess = float(ess_autocorr(b_samples))
+    ess_per_s = ess / wall
+
+    print(json.dumps({
+        "metric": "hmc_ess_per_s_1chip",
+        "value": round(ess_per_s, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(ess_per_s / 1e6, 3),
+        "chains": num_chains,
+        "num_warmup": num_warmup,
+        "num_samples": num_samples,
+        "ess_b": round(ess, 1),
+        "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
 
 
 def main():
@@ -91,6 +151,8 @@ def main():
         "seconds_per_filter": round(best, 4),
         "platform": jax.devices()[0].platform,
     }))
+    sys.stdout.flush()
+    bench_hmc()
 
 
 if __name__ == "__main__":

@@ -97,9 +97,6 @@ def make_unconstrained_logprob(model, args, trace, observed, selection=None):
 def _leapfrog(grad_fn, u, p, eps, num_steps, inv_mass):
     """Standard leapfrog in flat coordinates; one fused scan."""
 
-    def half_kick(p, g):
-        return p + 0.5 * eps * g
-
     def body(carry, _):
         u, p, g = carry
         p = p + 0.5 * eps * g
@@ -164,6 +161,82 @@ def da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
 
 
 # --------------------------------------------------------------------------
+# Quadratic-target detection (fused Pallas leapfrog dispatch)
+# --------------------------------------------------------------------------
+
+def detect_quadratic_target(logprob_flat, dim, dtype=jnp.float32,
+                            num_probes=3, tol=1e-5):
+    """Detect logp(u) = -1/2 u^T Λ u + b^T u (+ const); return (Λ, b) or None.
+
+    Covers every all-Gaussian model with identity bijectors (the conjugate
+    / linear-Gaussian zoo): there grad logp is affine, so it suffices to
+    check grad(u) == grad(0) - Λ u at a few random probes with
+    Λ = -hessian(0). Detection needs CONCRETE evaluation — inside an outer
+    jit trace (or on any model whose logp raises under hessian) it returns
+    None and the caller falls back to the generic path transparently.
+    """
+    try:
+        import numpy as np
+
+        z = jnp.zeros((dim,), dtype)
+        lam = -jax.hessian(logprob_flat)(z)
+        g0 = jax.grad(logprob_flat)(z)
+        lam_c = np.asarray(lam)       # concretize (raises under tracing)
+        if not np.all(np.isfinite(lam_c)) or not np.all(
+                np.isfinite(np.asarray(g0))):
+            return None
+        for i in range(num_probes):
+            u = jax.random.normal(jax.random.PRNGKey(100 + i), (dim,), dtype)
+            gu = np.asarray(jax.grad(logprob_flat)(u))
+            pred = np.asarray(g0) - np.asarray(u) @ lam_c
+            scale = 1.0 + np.max(np.abs(gu))
+            if not np.all(np.isfinite(gu)) or \
+                    np.max(np.abs(gu - pred)) > tol * scale:
+                return None
+        return lam, g0
+    except Exception:
+        return None
+
+
+def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
+                      num_leapfrog, target_accept, interpret=False):
+    """Pooled-adaptation HMC where every transition is the fused Pallas
+    leapfrog+logprob kernel (ops/leapfrog_pallas.py) over the whole chain
+    batch — zero HBM round-trips inside a trajectory. Output contract
+    matches _pooled_chains."""
+    from modppl_tpu.inference.adaptation import run_warmup_pooled
+    from modppl_tpu.ops.leapfrog_pallas import hmc_transition_quadratic
+
+    inv_mass0 = jnp.ones(u0s.shape[1:], u0s.dtype)
+
+    def batched(k, us, eps, inv_mass):
+        n = us.shape[0]
+        k_jit, k_tr = jax.random.split(k)
+        e = eps * jax.random.uniform(k_jit, (n,), us.dtype,
+                                     minval=0.5, maxval=1.5)
+        u, logp, aprob, div = hmc_transition_quadratic(
+            k_tr, us, e, lam, b, inv_mass, num_leapfrog, interpret=interpret)
+        return u, (logp, aprob, div)
+
+    def warm_transition(k, us, eps, inv_mass):
+        us, (_, aprobs, _) = batched(k, us, eps, inv_mass)
+        return us, aprobs
+
+    us, eps, inv_mass = run_warmup_pooled(
+        jax.random.fold_in(key, 0), u0s, warm_transition, num_warmup, eps0,
+        target_accept, batched_transition=True)
+
+    def sample_body(us_c, k):
+        us_c, ys = batched(k, us_c, eps, inv_mass)
+        return us_c, (us_c,) + ys
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    _, (us, logps, aprobs, divs) = jax.lax.scan(sample_body, us, keys_s)
+    sw = lambda x: jnp.swapaxes(x, 0, 1)
+    return sw(us), sw(logps), sw(aprobs), sw(divs), eps
+
+
+# --------------------------------------------------------------------------
 # Full pipeline
 # --------------------------------------------------------------------------
 
@@ -192,13 +265,70 @@ def _single_chain(key, logprob, u0_flat, num_warmup, num_samples, eps0,
     return us, logps, aprobs, divs, eps
 
 
+def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
+                   num_leapfrog, target_accept, axis_name=None):
+    """All chains share ONE adapted (eps, inv_mass), pooled across chains
+    (and shards, inside shard_map) — SURVEY.md §2b item 5.
+
+    ``u0s``: (C_local, dim). Returns the same per-chain stacks as vmapping
+    :func:`_single_chain`, plus the shared scalar eps.
+    """
+    from modppl_tpu.inference.adaptation import run_warmup_pooled
+
+    grad = jax.grad(logprob)
+
+    def warm_transition(k, u, eps, inv_mass):
+        u, _, aprob, _ = hmc_transition(k, u, logprob, grad, eps,
+                                        num_leapfrog, inv_mass)
+        return u, aprob
+
+    us, eps, inv_mass = run_warmup_pooled(
+        jax.random.fold_in(key, 0), u0s, warm_transition, num_warmup, eps0,
+        target_accept, axis_name=axis_name)
+
+    c_local = u0s.shape[0]
+    if axis_name is None:
+        gidx = jnp.arange(c_local)
+    else:
+        gidx = jax.lax.axis_index(axis_name) * c_local + jnp.arange(c_local)
+
+    def sample_body(us_c, k):
+        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(gidx)
+        us_c, logps, aprobs, divs = jax.vmap(
+            lambda kk, uu: hmc_transition(kk, uu, logprob, grad, eps,
+                                          num_leapfrog, inv_mass))(keys, us_c)
+        return us_c, (us_c, logps, aprobs, divs)
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    _, (us, logps, aprobs, divs) = jax.lax.scan(sample_body, us, keys_s)
+    # (samples, chains, ...) -> (chains, samples, ...)
+    sw = lambda x: jnp.swapaxes(x, 0, 1)
+    return sw(us), sw(logps), sw(aprobs), sw(divs), eps
+
+
 def hmc(key, model, args, observed, *, num_samples=1000, num_warmup=500,
         num_chains=1, step_size=0.1, num_leapfrog=16, target_accept=0.8,
-        selection=None, init_trace=None):
+        selection=None, init_trace=None, pooled_adaptation=None,
+        axis_name=None, use_fused_quadratic=None):
     """Run adaptive HMC; returns samples in constrained space + diagnostics.
 
     Chains are vmapped — ``num_chains`` scales to 10^4 on a sharded mesh.
     Samples: {addr: array[(chains, num_samples) + value_shape]}.
+
+    ``pooled_adaptation`` (default: on whenever num_chains > 1) adapts ONE
+    shared (step size, inverse mass) from the pooled accept statistics and
+    draws of every chain (run_warmup_pooled) instead of per-chain states —
+    at 10^4 chains that is 10^4x the adaptation signal per dual-averaging
+    update. ``axis_name`` names the mesh axis when run inside shard_map
+    (parallel/distributed.shardmap_hmc); the fixed add-tree reduction order
+    makes the adapted (eps, inv_mass) bitwise-equal across shardings.
+
+    ``use_fused_quadratic`` (default: auto-detect on TPU) routes targets
+    whose unconstrained log-density is quadratic — the all-Gaussian
+    conjugate / linear-Gaussian zoo — through the fused Pallas
+    leapfrog+logprob kernel (ops/leapfrog_pallas.py): the whole chain
+    block stays VMEM-resident across every leapfrog step. Non-quadratic
+    targets fall back to the generic path transparently.
     """
     k_init, k_run = jax.random.split(key)
     if init_trace is None:
@@ -220,7 +350,38 @@ def hmc(key, model, args, observed, *, num_samples=1000, num_warmup=500,
         k, u0_flat.shape, u0_flat.dtype))(chain_keys)
     u0s = u0_flat[None, :] + jitter
 
-    us, logps, aprobs, divs, eps = jax.vmap(run_one)(chain_keys, u0s)
+    if pooled_adaptation is None:
+        pooled_adaptation = num_chains > 1
+
+    # fused Pallas leapfrog dispatch: quadratic targets (the all-Gaussian /
+    # conjugate zoo) run the whole chain batch in VMEM-resident blocks,
+    # SURVEY.md §2a extension row / §7.6. Auto: TPU only; force with
+    # use_fused_quadratic=True (non-TPU backends then run the kernel in
+    # interpret mode — slow, for tests).
+    quad = None
+    if use_fused_quadratic or (use_fused_quadratic is None
+                               and jax.default_backend() == "tpu"):
+        quad = detect_quadratic_target(
+            logprob_flat, u0_flat.shape[0], u0_flat.dtype)
+        if quad is None and use_fused_quadratic:
+            raise ValueError(
+                "use_fused_quadratic=True but the target's log-density is "
+                "not quadratic in the unconstrained latents (or hmc was "
+                "called inside jit, where detection cannot concretize)")
+
+    if quad is not None:
+        lam, b = quad
+        us, logps, aprobs, divs, eps = _quadratic_chains(
+            jax.random.fold_in(k_run, 0), lam, b, u0s, num_warmup,
+            num_samples, step_size, num_leapfrog, target_accept,
+            interpret=jax.default_backend() != "tpu")
+    elif pooled_adaptation:
+        us, logps, aprobs, divs, eps = _pooled_chains(
+            jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
+            num_samples, step_size, num_leapfrog, target_accept,
+            axis_name=axis_name)
+    else:
+        us, logps, aprobs, divs, eps = jax.vmap(run_one)(chain_keys, u0s)
 
     # constrain: (chains, samples, dim) -> {addr: (chains, samples, ...)}
     def constrain_flat(u_flat):

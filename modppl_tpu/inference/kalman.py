@@ -26,23 +26,56 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from modppl_tpu.ops.smalllinalg import (
+    SMALL_DIM_MAX,
+    cholesky_small,
+    lu_solve_small,
+    solve_lower_small,
+    solve_psd_small,
+    tril_logdet_small,
+)
+
+# above this the unrolled expression graphs stop paying; jnp.linalg wins
+_LU_DIM_MAX = 8
+
 
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
 def _solve_psd(S, B):
-    """Solve S X = B for symmetric-PD S via Cholesky (batched)."""
+    """Solve S X = B for symmetric-PD S (batched).
+
+    Small static dims route through the unrolled custom-call-free Cholesky
+    (ops/smalllinalg.py): a single ``jnp.linalg.cholesky`` inside a
+    ``lax.scan`` body costs ~24 ms dispatch *per segment* on a tunneled
+    v5e (docs/performance.md rule 1), which dominated the sequential
+    filter in rounds 1-2.
+    """
+    if S.shape[-1] <= SMALL_DIM_MAX:
+        return solve_psd_small(S, B)
     L = jnp.linalg.cholesky(S)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
 
+def _solve_general(A, B):
+    """Solve general A X = B; unrolled pivoted LU at small static dims."""
+    if A.shape[-1] <= _LU_DIM_MAX:
+        return lu_solve_small(A, B)
+    return jnp.linalg.solve(A, B)
+
+
 def _mvn_logpdf(x, mean, cov):
     d = x.shape[-1]
-    L = jnp.linalg.cholesky(cov)
-    z = jax.scipy.linalg.solve_triangular(L, x - mean, lower=True)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
-                           axis=-1)
+    if d <= SMALL_DIM_MAX:
+        L = cholesky_small(cov)
+        z = solve_lower_small(L, x - mean)
+        logdet = 2.0 * tril_logdet_small(L)
+    else:
+        L = jnp.linalg.cholesky(cov)
+        z = jax.scipy.linalg.solve_triangular(L, x - mean, lower=True)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                               axis=-1)
     return -0.5 * (d * jnp.log(2.0 * jnp.pi) + logdet
                    + jnp.sum(z * z, axis=-1))
 
@@ -152,11 +185,11 @@ def _filter_combine(elem_i, elem_j):
     # M = (I + C_i J_j)^{-1}; solves batched over the scan axis
     CJ = I + Ci @ Jj
     AjM = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(CJ, -1, -2), jnp.swapaxes(Aj, -1, -2)),
+        _solve_general(jnp.swapaxes(CJ, -1, -2), jnp.swapaxes(Aj, -1, -2)),
         -1, -2)                                           # A_j M
     JC = I + Jj @ Ci
     AiTN = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(JC, -1, -2), Ai), -1, -2)  # A_i^T N
+        _solve_general(jnp.swapaxes(JC, -1, -2), Ai), -1, -2)  # A_i^T N
     A_out = AjM @ Ai
     b_out = (AjM @ (bi[..., None] + Ci @ etaj[..., None]))[..., 0] + bj
     C_out = _sym(AjM @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj)

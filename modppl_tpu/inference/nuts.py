@@ -256,10 +256,57 @@ def _nuts_chain(key, logprob, u0_flat, num_warmup, num_samples, eps0,
     return us, logps, aprobs, divs, depths, eps
 
 
+def _pooled_nuts_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
+                        max_depth, target_accept, axis_name=None):
+    """All chains share ONE pooled-adapted (eps, inv_mass) — the NUTS
+    counterpart of hmc._pooled_chains (SURVEY.md §2b item 5). Cross-shard
+    pooling + bitwise layout invariance come from
+    adaptation.run_warmup_pooled's fixed add-tree reductions."""
+    from modppl_tpu.inference.adaptation import run_warmup_pooled
+
+    grad = jax.grad(logprob)
+
+    def transition(k, u, eps, inv_mass):
+        return nuts_transition(k, u, logprob, grad, eps, inv_mass, max_depth)
+
+    def warm_transition(k, u, eps, inv_mass):
+        u, _, stats = transition(k, u, eps, inv_mass)
+        return u, stats["accept_prob"]
+
+    us, eps, inv_mass = run_warmup_pooled(
+        jax.random.fold_in(key, 0), u0s, warm_transition, num_warmup, eps0,
+        target_accept, axis_name=axis_name)
+
+    c_local = u0s.shape[0]
+    if axis_name is None:
+        gidx = jnp.arange(c_local)
+    else:
+        gidx = jax.lax.axis_index(axis_name) * c_local + jnp.arange(c_local)
+
+    def sample_body(us_c, k):
+        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(gidx)
+        us_c, logps, stats = jax.vmap(
+            lambda kk, uu: transition(kk, uu, eps, inv_mass))(keys, us_c)
+        return us_c, (us_c, logps, stats["accept_prob"], stats["divergent"],
+                      stats["tree_depth"])
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
+    _, (us, logps, aprobs, divs, depths) = jax.lax.scan(sample_body, us,
+                                                        keys_s)
+    sw = lambda x: jnp.swapaxes(x, 0, 1)
+    return sw(us), sw(logps), sw(aprobs), sw(divs), sw(depths), eps
+
+
 def nuts(key, model, args, observed, *, num_samples=1000, num_warmup=500,
          num_chains=1, step_size=0.1, max_depth=8, target_accept=0.8,
-         selection=None, init_trace=None):
-    """Adaptive NUTS over a model's unconstrained latents; vmapped chains."""
+         selection=None, init_trace=None, pooled_adaptation=None,
+         axis_name=None):
+    """Adaptive NUTS over a model's unconstrained latents; vmapped chains.
+
+    ``pooled_adaptation`` (default: on whenever num_chains > 1) shares one
+    (eps, inv_mass) adapted from every chain's accept statistics and draws
+    — see inference/hmc.hmc for the contract and determinism notes.
+    """
     k_init, k_run = jax.random.split(key)
     if init_trace is None:
         init_trace, _ = model.generate(k_init, args, observed)
@@ -275,11 +322,20 @@ def nuts(key, model, args, observed, *, num_samples=1000, num_warmup=500,
         k, u0_flat.shape, u0_flat.dtype))(chain_keys)
     u0s = u0_flat[None, :] + jitter
 
-    def run_one(k, u0f):
-        return _nuts_chain(k, logprob_flat, u0f, num_warmup, num_samples,
-                           step_size, max_depth, target_accept)
+    if pooled_adaptation is None:
+        pooled_adaptation = num_chains > 1
+    if pooled_adaptation:
+        us, logps, aprobs, divs, depths, eps = _pooled_nuts_chains(
+            jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
+            num_samples, step_size, max_depth, target_accept,
+            axis_name=axis_name)
+    else:
+        def run_one(k, u0f):
+            return _nuts_chain(k, logprob_flat, u0f, num_warmup, num_samples,
+                               step_size, max_depth, target_accept)
 
-    us, logps, aprobs, divs, depths, eps = jax.vmap(run_one)(chain_keys, u0s)
+        us, logps, aprobs, divs, depths, eps = jax.vmap(run_one)(
+            chain_keys, u0s)
 
     def constrain_flat(u_flat):
         return constrain(unravel(u_flat))

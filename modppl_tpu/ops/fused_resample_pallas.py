@@ -23,22 +23,46 @@ is exactly one-hot per column, and
 
 yields, per output slot, a **bitwise-exact** copy of the ancestor's state
 rows (one nonzero term per column — no accumulation error; multiplying by
-1.0 and adding zeros is exact in f32) together with the ancestor index
-itself (ids row, exact in f32 for N < 2^24). The contraction runs on the
-MXU with the tiny state dimension on the sublane axis (8 rows), so the
-matmul costs 8*W*B flops per W-wide slab instead of the 128-padded naive
-(slots x rows) @ (rows x C) orientation.
+1.0 and adding zeros is exact) together with the ancestor index itself
+(ids row, exact for N < 2^24).
 
-Work per block of B output slots: the S entries covering its slot range —
-located by one cheap vectorized searchsorted outside the kernel
-(scalar-prefetch) — streamed in (8, W)-tile chunks (CH = 8*W entries) with
-double-buffered DMA; every DMA moves a full sublane/lane-aligned tile
-(Mosaic rejects sub-tile slices). Total ~ N*(B + W) lane-compares +
-N*8*(1 + B/W) MXU flops. Results are bit-identical to the scatter+cumsum
-formulation (same integer logic on the same S).
+Work per block of B output slots: only the S entries covering its slot
+range — located by one vectorized searchsorted outside the kernel
+(scalar-prefetch) — streamed in (8, W)-tile chunks with double-buffered
+DMA (Mosaic rejects sub-tile DMA slices, so transfers stay whole-tile),
+then reduced **sub-row by sub-row over the live range only**: a
+dynamic-trip ``fori_loop`` from the first to the last (1, W) sub-row that
+intersects [c[b], c[b+1]] skips the ~3/4 of each streamed tile that no
+slot in the block can match (round 2 processed every sub-row; an unrolled
+``pl.when`` variant was reverted for Mosaic compile-time blowup).
+
+Contraction modes (both bitwise-exact, selected at trace time):
+
+- ``bf16`` (state dim C <= 4, opt-in via MODPPL_FUSED_RESAMPLE_BF16;
+  measured slightly slower end-to-end than f32 HIGHEST at N=2^20 on a v5e
+  — the split prep outweighs the dot saving once dead sub-rows are
+  skipped — kept for wider-state / MXU-bound regimes): each f32 row is
+  split into
+  three bf16 rows (hi = bf16(x), mid = bf16(x - hi), lo = x - hi - mid)
+  whose sum reconstructs x exactly — bf16 has an 8-bit mantissa, so three
+  parts cover all 24 f32 mantissa bits, and every partial sum is exactly
+  representable. The one-hot contraction then runs as ONE native bf16 MXU
+  pass with f32 accumulation (one nonzero per column keeps each part
+  exact), 6x less MXU work than the f32 HIGHEST mode below. Requires
+  finite state values (an infinite row would make x - hi NaN); particle
+  states are finite by construction, and the plain-XLA fallback remains
+  available via MODPPL_DISABLE_FUSED_RESAMPLE.
+- ``f32`` (C <= 7, the default): f32 dots at
+  Precision.HIGHEST — the TPU default f32 dot is a single bf16 pass that
+  silently truncates mantissas (measured: ancestor ids quantized to
+  multiples of 4 at N=2^20).
+
+Results are bit-identical to the scatter+cumsum formulation
+(parallel/resample.py) — same integer logic on the same S.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,14 +72,14 @@ from jax.experimental.pallas import tpu as pltpu
 _B = 256        # output slots per grid step
 _W = 256        # lane width of one A sub-row / one MXU contraction slab
 _SUB = 8        # sublane rows per A-tile chunk
-_CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) tile)
-_ROWS = 8       # sublane rows of ext: state components + id row, zero-padded
+_CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) int32 tile)
 
-MAX_STATE_DIM = _ROWS - 1
+MAX_STATE_DIM = 7          # f32 mode: C + id row <= 8 sublanes
+MAX_STATE_DIM_BF16 = 4     # bf16 mode: 3 * (C + 1) <= 16 sublanes
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n", "rows", "bf16", "interpret"))
+def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
     """Core pallas_call. See systematic_resample_fused for the public API.
 
     Args:
@@ -66,11 +90,15 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
         (SUB, W) = (8, 256) tile, keeping both the HBM slice and the VMEM
         destination aligned to the (8, 128) int32 tiling.
       a_hi_pad: same layout — A[p+1], same padding.
-      ext: (8, A_LEN) f32 — [state rows; ancestor ids; zeros], zero-padded.
+      ext: (rows, A_LEN) — f32 [state rows; ancestor ids; zeros] (f32 mode)
+        or bf16 [hi parts; mid parts; lo parts; zeros] (bf16 mode).
       n: static output slot count (multiple of B).
-    Returns (8, n) f32: rows 0..C-1 = resampled state, row C = ancestor ids.
+      rows: sublane height of ext (8 f32 / 16 bf16).
+      bf16: single-pass bf16 contraction vs 6-pass f32 HIGHEST.
+    Returns (rows, n) f32 — the contraction output, parts not yet summed.
     """
     nb = n // _B
+    e_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -80,11 +108,11 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((_ROWS, _B), lambda b, c_ref: (0, b)),
+        out_specs=pl.BlockSpec((rows, _B), lambda b, c_ref: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p] tiles (2 buffers)
             pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p+1] tiles
-            pltpu.VMEM((2, _ROWS, _CH), jnp.float32),  # ext slabs
+            pltpu.VMEM((2, rows, _CH), e_dtype),      # ext slabs
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -130,37 +158,68 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, interpret=False):
             for cp in copies(k, slot):
                 cp.wait()
 
-            alo = alo_vmem[slot]                    # (SUB, W)
-            ahi = ahi_vmem[slot]
-            e = e_vmem[slot]                        # (ROWS, CH)
-            # unrolled over the tile's SUB sub-rows: each is a W-wide slab
-            for r in range(_SUB):
-                t_lo = alo[r: r + 1, :] <= i_c      # (1, W) vs (B, 1) -> (B, W)
-                t_hi = ahi[r: r + 1, :] <= i_c
-                d = (t_lo & jnp.logical_not(t_hi)).astype(jnp.float32)
-                # (ROWS, W) x (B, W) contracting on W (A @ B^T form) on the
-                # MXU; exact: one nonzero per output column. Precision
-                # HIGHEST is load-bearing — the TPU default runs f32 dots as
-                # one bf16 pass, which silently truncates the copied state
-                # mantissas (measured: ancestor ids quantized to multiples
-                # of 4 at N=2^20); full-precision passes keep the one-hot
-                # copy bitwise exact.
-                acc = acc + jax.lax.dot_general(
-                    e[:, r * _W: (r + 1) * _W], d, (((1,), (1,)), ((), ())),
+            # live sub-row range of this chunk: entries outside [lo, hi]
+            # have a one-hot row that is identically zero for every slot of
+            # this block, so their compares + dot are skipped entirely.
+            base = (k0 + k) * _CH
+            r_lo = jnp.clip((lo - base) // _W, 0, _SUB - 1)
+            r_hi = jnp.clip((hi - base) // _W, 0, _SUB - 1)
+
+            def sub_row(r, acc):
+                alo = alo_vmem[slot, pl.ds(r, 1), :]    # (1, W)
+                ahi = ahi_vmem[slot, pl.ds(r, 1), :]
+                t_lo = alo <= i_c                       # (1,W) vs (B,1)->(B,W)
+                t_hi = ahi <= i_c
+                d = (t_lo & jnp.logical_not(t_hi)).astype(e_dtype)
+                e = e_vmem[slot, :, pl.ds(r * _W, _W)]  # (rows, W)
+                # (rows, W) x (B, W) contracting on W (A @ B^T form) on the
+                # MXU; exact: one nonzero per output column. bf16 mode: one
+                # native pass, parts recombined outside. f32 mode: HIGHEST
+                # is load-bearing (default f32 dot = one truncating bf16
+                # pass).
+                if bf16:
+                    return acc + jax.lax.dot_general(
+                        e, d, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return acc + jax.lax.dot_general(
+                    e, d, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-            return acc
+
+            return jax.lax.fori_loop(r_lo, r_hi + 1, sub_row, acc)
 
         acc = jax.lax.fori_loop(
-            0, num_chunks, body, jnp.zeros((_ROWS, _B), jnp.float32))
+            0, num_chunks, body, jnp.zeros((rows, _B), jnp.float32))
         out_ref[...] = acc
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_ROWS, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(c, a_lo_pad, a_hi_pad, ext)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo with every partial sum
+    representable (8 mantissa bits per part cover f32's 24). Finite x only.
+
+    The parts are carved by *bit-masking* the low 16 bits (truncation), not
+    by f32->bf16->f32 round-trips: XLA's allow-excess-precision pass (on by
+    default on TPU) elides a demote/promote pair, which silently turns
+    ``x - f32(bf16(x))`` into ``x - x`` (measured: mid == lo == 0 on a
+    v5e). A truncated hi has zero low bits, so the final bf16 conversions
+    are exact bit-chops, and each residual is exactly representable.
+    """
+    mask = jnp.uint32(0xFFFF0000)
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(xb & mask, jnp.float32)
+    r1 = x - hi
+    r1b = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = jax.lax.bitcast_convert_type(r1b & mask, jnp.float32)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
 
 
 def systematic_resample_fused(key, log_normalized_weights, state_t,
@@ -170,7 +229,7 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
     Args:
       key: PRNG key for the single stratification uniform.
       log_normalized_weights: (N,) with N % 256 == 0.
-      state_t: (C, N) transposed particle state, C <= 7, float32.
+      state_t: (C, N) transposed particle state, C <= 7, float32, finite.
     Returns:
       (new_state_t (C, N) f32, parents (N,) int32) — parents bit-identical
       to parallel.resample.systematic_parents; state copies bitwise exact.
@@ -179,6 +238,9 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
     C = state_t.shape[0]
     assert n % _B == 0, f"fused resample: N={n} must be a multiple of {_B}"
     assert C <= MAX_STATE_DIM, f"fused resample: state dim {C} > {MAX_STATE_DIM}"
+    bf16 = (C <= MAX_STATE_DIM_BF16
+            and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16")))
+    rows = 16 if bf16 else 8
 
     u = jax.random.uniform(key, (), log_normalized_weights.dtype)
     cdf = jnp.cumsum(jnp.exp(log_normalized_weights))
@@ -207,14 +269,26 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
 
     # ext column p: state of ancestor min(p, n-1) + the id itself
     ids = jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32), n - 1)
-    state_cols = jnp.concatenate(
+    logical = jnp.concatenate(
         [state_t.astype(jnp.float32), state_t[:, -1:].astype(jnp.float32)],
         axis=1)                                                   # (C, N+1)
-    ext = jnp.zeros((_ROWS, a_len), jnp.float32)
-    ext = ext.at[:C, : n + 1].set(state_cols)
-    ext = ext.at[C, : n + 1].set(ids.astype(jnp.float32))
+    logical = jnp.concatenate(
+        [logical, ids.astype(jnp.float32)[None, :]], axis=0)      # (C+1, N+1)
+    D = C + 1
+    if bf16:
+        hi_p, mid_p, lo_p = _split3(logical)
+        parts = jnp.concatenate([hi_p, mid_p, lo_p], axis=0)      # (3D, N+1)
+        ext = jnp.zeros((rows, a_len), jnp.bfloat16)
+        ext = ext.at[: 3 * D, : n + 1].set(parts)
+    else:
+        ext = jnp.zeros((rows, a_len), jnp.float32)
+        ext = ext.at[:D, : n + 1].set(logical)
 
-    out = _fused_gather(c, a_lo, a_hi, ext, n, interpret=interpret)
+    out = _fused_gather(c, a_lo, a_hi, ext, n, rows, bf16, interpret=interpret)
+    if bf16:
+        # exact recombination: each part arrives exact (one-hot copy), and
+        # hi + mid and (hi + mid) + lo are exactly representable f32 sums.
+        out = out[:D] + out[D: 2 * D] + out[2 * D: 3 * D]
     new_state_t = out[:C]
     parents = out[C].astype(jnp.int32)
     return new_state_t, parents

@@ -74,6 +74,61 @@ def solve_upper_small(U, b):
     return jnp.stack(z, axis=-1)
 
 
+def solve_psd_small(S, B):
+    """Solve S X = B for symmetric-PD ``S`` via unrolled Cholesky.
+
+    ``S``: (..., k, k); ``B``: (..., k) or (..., k, m). Column-wise
+    forward/backward substitution against the unrolled factor — the
+    custom-call-free counterpart of ``cho_solve`` for static k <=
+    SMALL_DIM_MAX (used by inference/kalman.py inside scan bodies, where a
+    single ``jnp.linalg.cholesky`` custom call costs ~24 ms dispatch per
+    segment on a tunneled v5e).
+    """
+    L = cholesky_small(S)
+    Lt = jnp.swapaxes(L, -1, -2)
+    if B.ndim == S.ndim - 1:          # vector RHS
+        return solve_upper_small(Lt, solve_lower_small(L, B))
+    cols = [solve_upper_small(Lt, solve_lower_small(L, B[..., :, j]))
+            for j in range(B.shape[-1])]
+    return jnp.stack(cols, axis=-1)
+
+
+def lu_solve_small(A, B):
+    """Solve general A X = B by unrolled LU with partial pivoting.
+
+    ``A``: (..., k, k); ``B``: (..., k, m). Pivoting is a bubble pass of
+    ``where``-selected row swaps (after comparing row i against each row
+    j > i, row i holds the max-|pivot| row), so the whole solve is branch-
+    free elementwise arithmetic — batchable, differentiable, custom-call
+    free. O(k^2) selects + O(k^3) FLOPs unrolled: intended for small k
+    (inference/kalman.py uses it for the parallel-filter combine at
+    k <= 8); above that ``jnp.linalg.solve``'s LU custom call wins.
+    """
+    k = A.shape[-1]
+    arows = [A[..., i, :] for i in range(k)]
+    brows = [B[..., i, :] for i in range(k)]
+    for i in range(k):
+        for j in range(i + 1, k):
+            c = (jnp.abs(arows[j][..., i])
+                 > jnp.abs(arows[i][..., i]))[..., None]
+            arows[i], arows[j] = (jnp.where(c, arows[j], arows[i]),
+                                  jnp.where(c, arows[i], arows[j]))
+            brows[i], brows[j] = (jnp.where(c, brows[j], brows[i]),
+                                  jnp.where(c, brows[i], brows[j]))
+        inv = 1.0 / arows[i][..., i]
+        for j in range(i + 1, k):
+            f = (arows[j][..., i] * inv)[..., None]
+            arows[j] = arows[j] - f * arows[i]
+            brows[j] = brows[j] - f * brows[i]
+    xrows = [None] * k
+    for i in range(k - 1, -1, -1):
+        s = brows[i]
+        for j in range(i + 1, k):
+            s = s - arows[i][..., j: j + 1] * xrows[j]
+        xrows[i] = s / arows[i][..., i: i + 1]
+    return jnp.stack(xrows, axis=-2)
+
+
 def matvec_small(m, v):
     """(..., k, k) @ (..., k) as a broadcast-multiply-sum.
 

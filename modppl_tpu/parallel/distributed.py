@@ -136,8 +136,71 @@ def distributed_logsumexp_fn(mesh, axis="dp"):
 
 def sharded_hmc(mesh, key, model, args, observed, **hmc_kwargs):
     """Run inference/hmc.hmc with the chain axis sharded over the mesh's dp
-    axis (the 10^4-chain north-star configuration)."""
+    axis (the 10^4-chain north-star configuration). Multi-chain runs use
+    pooled adaptation by default (hmc's own default); for the explicitly
+    collective, bitwise-deterministic layout use :func:`shardmap_hmc`."""
     from modppl_tpu.inference.hmc import hmc
 
     with mesh:
         return hmc(key, model, args, observed, **hmc_kwargs)
+
+
+def shardmap_hmc(mesh, key, model, args, observed, *, num_samples=1000,
+                 num_warmup=500, num_chains=8, step_size=0.1,
+                 num_leapfrog=16, target_accept=0.8, selection=None,
+                 axis="dp"):
+    """Pooled-adaptation HMC with the chain axis explicitly sharded.
+
+    The whole pipeline (warmup with psum/all_gather-pooled dual averaging +
+    Welford mass, then sampling) runs under ``shard_map``; the shared
+    (eps, inv_mass) are adapted from ALL chains' statistics with the fixed
+    reduction order of adaptation._pooled_sum, and per-chain PRNG streams
+    key off global chain indices — so the run is bitwise-identical to
+    ``hmc(..., pooled_adaptation=True)`` on one
+    device (asserted in tests/test_pooled_adaptation.py).
+    """
+    from modppl_tpu.inference.hmc import (
+        _pooled_chains,
+        make_unconstrained_logprob,
+    )
+    from jax.flatten_util import ravel_pytree
+
+    n_shards = mesh.shape[axis]
+    if num_chains % n_shards:
+        raise ValueError(f"num_chains {num_chains} not divisible by "
+                         f"{axis}={n_shards}")
+
+    # identical setup + key derivations to inference/hmc.hmc
+    k_init, k_run = jax.random.split(key)
+    init_trace, _ = model.generate(k_init, args, observed)
+    logprob, u0, _, constrain = make_unconstrained_logprob(
+        model, args, init_trace, observed, selection)
+    u0_flat, unravel = ravel_pytree(u0)
+
+    def logprob_flat(u_flat):
+        return logprob(unravel(u_flat))
+
+    chain_keys = jax.random.split(k_run, num_chains)
+    jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+        k, u0_flat.shape, u0_flat.dtype))(chain_keys)
+    u0s = u0_flat[None, :] + jitter
+
+    def local_fn(k, u0s_local):
+        return _pooled_chains(k, logprob_flat, u0s_local, num_warmup,
+                              num_samples, step_size, num_leapfrog,
+                              target_accept, axis_name=axis)
+
+    run = shard_map(local_fn, mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                    check_vma=False)
+    with mesh:
+        us, logps, aprobs, divs, eps = jax.jit(run)(
+            jax.random.fold_in(k_run, 0), u0s)
+
+    def constrain_flat(u_flat):
+        return constrain(unravel(u_flat))
+
+    samples = jax.vmap(jax.vmap(constrain_flat))(us)
+    return {"samples": samples, "logp": logps, "accept_prob": aprobs,
+            "divergences": divs, "step_size": eps, "unconstrained": us}

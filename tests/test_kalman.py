@@ -104,3 +104,41 @@ def test_smc_log_ml_matches_kalman(lgssm_data):
         num_particles=4096, store_traces=False)
     assert abs(float(out["log_ml"]) - float(exact)) < 0.08, (
         float(out["log_ml"]), float(exact))
+
+
+def test_kalman_hlo_no_custom_calls(lgssm_data):
+    """Hot-path rule (docs/performance.md #1): at small static D the whole
+    filter — sequential and time-parallel — must lower without any XLA
+    custom call (cholesky/triangular-solve/LU all route through
+    ops/smalllinalg.py unrolled forms)."""
+    from modppl_tpu.utils.profiling import hlo_text
+
+    params, _, ys = lgssm_data
+    for fn in (kalman_filter, kalman_filter_parallel,
+               kalman_smoother, kalman_smoother_parallel):
+        txt = hlo_text(fn, params, ys)
+        assert "custom-call" not in txt, fn.__name__
+
+
+def test_small_solves_match_linalg():
+    """solve_psd_small / lu_solve_small vs jnp.linalg at f64."""
+    from modppl_tpu.ops.smalllinalg import lu_solve_small, solve_psd_small
+
+    rng = np.random.default_rng(7)
+    for k in (1, 2, 3, 5, 8):
+        M = rng.normal(size=(4, k, k))
+        S = M @ np.swapaxes(M, -1, -2) + k * np.eye(k)
+        B = rng.normal(size=(4, k, 3))
+        b = rng.normal(size=(4, k))
+        np.testing.assert_allclose(
+            np.asarray(solve_psd_small(jnp.asarray(S), jnp.asarray(B))),
+            np.linalg.solve(S, B), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(solve_psd_small(jnp.asarray(S), jnp.asarray(b))),
+            np.linalg.solve(S, b[..., None])[..., 0], rtol=1e-9, atol=1e-9)
+        # general (non-symmetric, needs pivoting: first pivot is tiny)
+        G = rng.normal(size=(4, k, k))
+        G[:, 0, 0] = 1e-30
+        np.testing.assert_allclose(
+            np.asarray(lu_solve_small(jnp.asarray(G), jnp.asarray(B))),
+            np.linalg.solve(G, B), rtol=1e-7, atol=1e-7)

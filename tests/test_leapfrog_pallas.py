@@ -80,3 +80,74 @@ def test_hmc_quadratic_recovers_moments():
     np.testing.assert_allclose(flat.mean(0), np.asarray(mean), atol=0.05)
     np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.08)
     assert not np.asarray(out["divergences"]).any()
+
+
+def test_hmc_auto_dispatch_quadratic():
+    """hmc(use_fused_quadratic=True) routes the conjugate model through the
+    fused kernel (interpret mode on CPU) and still nails the posterior."""
+    from modppl_tpu import Trie, gen, normal
+    from modppl_tpu.inference.hmc import hmc
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    obs = Trie.from_dict({"x": 1.0})
+    out = hmc(jax.random.PRNGKey(0), conjugate, (), obs, num_samples=500,
+              num_warmup=300, num_chains=16, use_fused_quadratic=True)
+    # posterior: precision 1 + 4 = 5 -> N(0.8, 0.2)
+    mus = np.asarray(out["samples"]["mu"]).ravel()
+    assert abs(mus.mean() - 0.8) < 0.05
+    assert abs(mus.std() - np.sqrt(0.2)) < 0.05
+    assert float(np.mean(np.asarray(out["accept_prob"]))) > 0.6
+
+
+def test_detect_quadratic():
+    from jax.flatten_util import ravel_pytree
+
+    from modppl_tpu import Trie, gamma, gen, normal
+    from modppl_tpu.dists.iid import iid
+    from modppl_tpu.inference.hmc import (
+        detect_quadratic_target,
+        make_unconstrained_logprob,
+    )
+
+    @gen
+    def gaussian2(h):
+        mu = h.sample(normal, (0.0, 2.0), "mu")
+        h.sample(normal, (3.0 * mu, 1.0), "x")
+
+    obs = Trie.from_dict({"x": 1.0})
+    tr, _ = gaussian2.generate(jax.random.PRNGKey(0), (), obs)
+    logprob, u0, _, _ = make_unconstrained_logprob(gaussian2, (), tr, obs)
+    u0f, unravel = ravel_pytree(u0)
+    got = detect_quadratic_target(lambda u: logprob(unravel(u)), u0f.shape[0],
+                                  u0f.dtype)
+    assert got is not None
+    lam, b = got
+    # precision of mu | x: 1/4 + 9
+    np.testing.assert_allclose(np.asarray(lam), [[0.25 + 9.0]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), [3.0], rtol=1e-6)
+
+    ys3 = iid(normal, 3)
+
+    @gen
+    def nonquad(h):
+        scale = h.sample(gamma, (2.0, 1.0), "scale")
+        h.sample(ys3, (0.0, scale), "ys")
+
+    obs2 = Trie.from_dict({"ys": jnp.array([0.5, -0.2, 0.1])})
+    tr2, _ = nonquad.generate(jax.random.PRNGKey(1), (), obs2)
+    logprob2, u02, _, _ = make_unconstrained_logprob(nonquad, (), tr2, obs2)
+    u0f2, unravel2 = ravel_pytree(u02)
+    assert detect_quadratic_target(
+        lambda u: logprob2(unravel2(u)), u0f2.shape[0], u0f2.dtype) is None
+
+    # inside jit, detection must concretize-fail -> None (fallback)
+    def traced_probe(x):
+        return detect_quadratic_target(
+            lambda u: logprob(unravel(u)) * x, u0f.shape[0], u0f.dtype)
+
+    assert jax.jit(lambda x: jnp.float64(traced_probe(x) is None))(1.0) == 1.0

@@ -1,0 +1,150 @@
+"""psum-synchronized (pooled) warmup adaptation — SURVEY.md §2b item 5.
+
+Pooled dual averaging + Welford mass estimation share ONE (eps, inv_mass)
+across all chains and all shards. Assertions:
+
+1. the adapted (eps, inv_mass) — and the downstream samples — are
+   bitwise-identical between the single-device blocked form
+   (``hmc(pooled_adaptation=True)``) and the explicit 8-shard
+   ``shard_map`` form (``shardmap_hmc``), per the BASELINE.json
+   determinism requirement;
+2. pooling the accept statistics of many chains reaches the dual-averaging
+   target accept rate with a SHORT warmup where per-chain adaptation is
+   still far off (10^4x the adaptation signal per update at scale).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from modppl_tpu import Trie, gen, normal
+from modppl_tpu.dists.iid import iid
+from modppl_tpu.inference.adaptation import _pooled_sum, run_warmup_pooled
+from modppl_tpu.inference.hmc import hmc
+from modppl_tpu.parallel.distributed import shardmap_hmc
+
+ys4 = iid(normal, 4)
+
+
+@gen
+def target(h):
+    # anisotropic 3D-ish target: mu broad, tau narrow — mass adaptation
+    # actually matters for the step size to land near target accept
+    mu = h.sample(normal, (0.0, 3.0), "mu")
+    tau = h.sample(normal, (0.0, 0.1), "tau")
+    h.sample(ys4, (mu + tau, 1.0), "ys")
+    return mu
+
+
+OBS = Trie.from_dict({"ys": jnp.array([0.4, 0.6, 0.5, 0.7])})
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("dp",))
+
+
+def test_pooled_sum_blocked_matches_shardmap():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 3))
+    want = _pooled_sum(x, axis_name=None)
+    mesh = _mesh()
+    got = shard_map(lambda xl: _pooled_sum(xl, "dp"), mesh=mesh,
+                    in_specs=(P("dp"),), out_specs=P(),
+                    check_vma=False)(x)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pooled_hmc_bitwise_dp1_vs_dp8():
+    """The dp=1 and dp=8 runs of the SAME pipeline are bitwise-identical:
+    adapted step size, all positions, all accept probs."""
+    kwargs = dict(num_samples=20, num_warmup=60, num_chains=16,
+                  step_size=0.1, num_leapfrog=8)
+    key = jax.random.PRNGKey(7)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    one = shardmap_hmc(mesh1, key, target, (), OBS, **kwargs)
+    eight = shardmap_hmc(_mesh(), key, target, (), OBS, **kwargs)
+    np.testing.assert_array_equal(np.asarray(one["step_size"]),
+                                  np.asarray(eight["step_size"]))
+    np.testing.assert_array_equal(np.asarray(one["unconstrained"]),
+                                  np.asarray(eight["unconstrained"]))
+    np.testing.assert_array_equal(np.asarray(one["accept_prob"]),
+                                  np.asarray(eight["accept_prob"]))
+
+
+def test_pooled_warmup_bitwise_unsharded_vs_shardmap():
+    """Component-level layout invariance: run_warmup_pooled unsharded vs
+    under an 8-way shard_map — same (logprob, u0s, key) in, bitwise-equal
+    (us, eps, inv_mass) out."""
+    from jax import shard_map
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import PartitionSpec as P
+
+    from modppl_tpu.inference.hmc import (
+        hmc_transition,
+        make_unconstrained_logprob,
+    )
+
+    tr, _ = target.generate(jax.random.PRNGKey(0), (), OBS)
+    logprob, u0, _, _ = make_unconstrained_logprob(target, (), tr, OBS)
+    u0f, unravel = ravel_pytree(u0)
+    lp = lambda uf: logprob(unravel(uf))
+    grad = jax.grad(lp)
+
+    def trans(kk, uu, eps, inv_mass):
+        u, _, ap, _ = hmc_transition(kk, uu, lp, grad, eps, 8, inv_mass)
+        return u, ap
+
+    u0s = u0f[None] + 0.5 * jax.random.normal(
+        jax.random.PRNGKey(1), (16, u0f.shape[0]))
+    k = jax.random.PRNGKey(2)
+    one = jax.jit(lambda u: run_warmup_pooled(k, u, trans, 60, 0.1))(u0s)
+    eight = jax.jit(shard_map(
+        lambda u: run_warmup_pooled(k, u, trans, 60, 0.1, axis_name="dp"),
+        mesh=_mesh(), in_specs=(P("dp"),), out_specs=(P("dp"), P(), P()),
+        check_vma=False))(u0s)
+    for a, b in zip(one, eight):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pooled_reaches_target_accept_faster():
+    # SHORT warmup: 30 iterations. Pooled sees 64 accept stats per DA
+    # update; per-chain sees 1 — its eps estimates are noise-dominated.
+    kwargs = dict(num_samples=60, num_warmup=30, num_chains=64,
+                  step_size=1.5,  # deliberately bad init
+                  num_leapfrog=8, target_accept=0.8)
+    key = jax.random.PRNGKey(3)
+    pooled = hmc(key, target, (), OBS, pooled_adaptation=True, **kwargs)
+    percha = hmc(key, target, (), OBS, pooled_adaptation=False, **kwargs)
+    a_pool = float(jnp.mean(pooled["accept_prob"]))
+    a_per = float(jnp.mean(percha["accept_prob"]))
+    assert abs(a_pool - 0.8) < abs(a_per - 0.8), (a_pool, a_per)
+    assert abs(a_pool - 0.8) < 0.12, a_pool
+
+
+def test_pooled_posterior_correct():
+    # pooled adaptation must not bias the posterior: conjugate check.
+    # ys | mu+tau ~ N(,1): with priors mu~N(0,9), tau~N(0,0.01), the sum
+    # s = mu+tau has prior var 9.01; posterior of s: var = 1/(1/9.01 + 4),
+    # mean = var * 4 * ybar. mu posterior mean = mean_s * 9/9.01.
+    out = hmc(jax.random.PRNGKey(11), target, (), OBS, num_samples=600,
+              num_warmup=300, num_chains=8, pooled_adaptation=True)
+    var_s = 1.0 / (1.0 / 9.01 + 4.0)
+    mean_s = var_s * 4.0 * 0.55
+    mus = np.asarray(out["samples"]["mu"]).ravel()
+    assert mus.mean() == pytest.approx(mean_s * 9.0 / 9.01, abs=0.06)
+    assert float(jnp.mean(out["accept_prob"])) > 0.6
+
+
+def test_run_warmup_pooled_shapes():
+    def transition(k, u, eps, inv_mass):
+        return u + 0.01 * jax.random.normal(k, u.shape), jnp.float32(0.9)
+
+    us, eps, inv_mass = run_warmup_pooled(
+        jax.random.PRNGKey(0), jnp.zeros((6, 3)), transition, 50, 0.1)
+    assert us.shape == (6, 3)
+    assert eps.shape == ()
+    assert inv_mass.shape == (3,)
