@@ -34,7 +34,7 @@ def bench_hmc():
     import numpy as np
 
     from modppl_tpu import Trie
-    from modppl_tpu.inference.hmc import hmc
+    from modppl_tpu.inference.hmc import hmc_runner
     from modppl_tpu.models.hierarchical_static import (
         NOISE,
         make_hierarchical_static,
@@ -52,15 +52,15 @@ def bench_hmc():
     num_chains = 10_000
     num_warmup, num_samples = 300, 500
 
-    def run(seed):
-        return hmc(jax.random.PRNGKey(seed), model, (xs,), observed,
-                   num_samples=num_samples, num_warmup=num_warmup,
-                   num_chains=num_chains, num_leapfrog=8)
-
-    out = run(0)  # compile + warmup
+    # compiled-runner API: setup + trace once, then each call is one
+    # cached XLA program — steady-state production throughput
+    run = hmc_runner(model, (xs,), observed, num_samples=num_samples,
+                     num_warmup=num_warmup, num_chains=num_chains,
+                     num_leapfrog=8, setup_key=jax.random.PRNGKey(99))
+    out = run(jax.random.PRNGKey(0))  # compile + warmup
     jax.block_until_ready(out["unconstrained"])
     t0 = time.perf_counter()
-    out = run(1)
+    out = run(jax.random.PRNGKey(1))
     jax.block_until_ready(out["unconstrained"])
     wall = time.perf_counter() - t0
 
@@ -88,14 +88,14 @@ def main():
 
     from modppl_tpu import Trie
     from modppl_tpu.inference.vsmc import batched_particle_filter
-    from modppl_tpu.models.spiral import spiral_scan_kernel_batched
+    from modppl_tpu.models.spiral import spiral_scan_kernel
 
     # 2^20 particles (>= the 10^6 north star): tile-aligned so the fused
     # Pallas resampling kernel (ancestors + gather in one pass) engages.
     num_particles = 1 << 20
     num_steps = 10  # T: 1 init + 9 scan steps
 
-    kernel = spiral_scan_kernel_batched()
+    kernel = spiral_scan_kernel()
 
     # observations on a circle, matching the demo's geometry
     obs = []
@@ -112,7 +112,7 @@ def main():
         out = batched_particle_filter(
             jax.random.PRNGKey(seed), kernel, jnp.zeros(2, jnp.float32),
             init_c, step_c, num_particles, resampling="systematic",
-            ess_threshold=1.0)
+            ess_threshold=1.0, auto_batch=True)
         return out["log_ml"]
 
     # compile + warmup; if the fused Pallas kernel trips a Mosaic/toolchain

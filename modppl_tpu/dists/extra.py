@@ -9,7 +9,7 @@ picks up the right unconstraining bijectors automatically.
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, gammaln
+from jax.scipy.special import betaln, gammaln, xlogy
 
 from modppl_tpu.dists.base import Distribution, _f
 
@@ -86,8 +86,11 @@ class Binomial(Distribution):
 
     def _logpdf(self, k, n, p):
         kf, nf, p = _f(k), _f(n), _f(p)
+        # xlogy guards: at the boundaries p=0 (k=0) and p=1 (k=n) the
+        # naive k*log(p) terms produce 0*(-inf) = NaN; xlogy returns the
+        # exact 0.0, matching Bernoulli's edge behavior (dists/scalar.py)
         logp = (gammaln(nf + 1.0) - gammaln(kf + 1.0) - gammaln(nf - kf + 1.0)
-                + kf * jnp.log(p) + (nf - kf) * jnp.log1p(-p))
+                + xlogy(kf, p) + xlogy(nf - kf, 1.0 - p))
         valid = (kf >= 0) & (kf <= nf)
         return jnp.where(valid, logp, -jnp.inf)
 
@@ -131,8 +134,9 @@ class NegativeBinomial(Distribution):
 
     def _logpdf(self, k, r, p):
         kf, rf, p = _f(k), _f(r), _f(p)
+        # xlogy guard: at p=1 (k=0) the naive k*log1p(-p) is 0*(-inf)=NaN
         logp = (gammaln(kf + rf) - gammaln(rf) - gammaln(kf + 1.0)
-                + rf * jnp.log(p) + kf * jnp.log1p(-p))
+                + rf * jnp.log(p) + xlogy(kf, 1.0 - p))
         return jnp.where(kf >= 0, logp, -jnp.inf)
 
     def _sample(self, key, r, p):

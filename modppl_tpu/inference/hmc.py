@@ -306,10 +306,107 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
     return sw(us), sw(logps), sw(aprobs), sw(divs), eps
 
 
-def hmc(key, model, args, observed, *, num_samples=1000, num_warmup=500,
-        num_chains=1, step_size=0.1, num_leapfrog=16, target_accept=0.8,
-        selection=None, init_trace=None, pooled_adaptation=None,
-        axis_name=None, use_fused_quadratic=None):
+# threshold below which the generic (VPU-elementwise, XLA-fused) path beats
+# the MXU-tiled fused kernel: the kernel pads dim to 128 lanes, so small
+# targets waste up to (128/d)^2 of the matmul. Measured steady-state on a
+# v5e at 10^4 chains, 8 leapfrog steps (docs/performance.md): generic
+# 0.21-0.24 ms/transition for d <= 64, 0.30 at d = 128; fused flat at
+# ~0.29 ms across d. Crossover: one full MXU tile.
+FUSED_QUADRATIC_MIN_DIM = 128
+
+
+def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
+               num_chains=1, step_size=0.1, num_leapfrog=16,
+               target_accept=0.8, selection=None, init_trace=None,
+               pooled_adaptation=None, axis_name=None,
+               use_fused_quadratic=None, setup_key=None):
+    """Build a reusable COMPILED HMC sampler: returns ``run(key) -> dict``.
+
+    Setup (initial trace, bijectors, quadratic-target detection) happens
+    once, eagerly, at build time; every ``run(key)`` call afterwards is a
+    single jitted program — repeated production invocations pay zero
+    retracing/dispatch overhead. :func:`hmc` is the one-shot convenience
+    wrapper.
+    """
+    if init_trace is None:
+        init_trace, _ = model.generate(
+            setup_key if setup_key is not None else jax.random.PRNGKey(0),
+            args, observed)
+    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
+        model, args, init_trace, observed, selection)
+    u0_flat, unravel = ravel_pytree(u0)
+
+    def logprob_flat(u_flat):
+        return logprob(unravel(u_flat))
+
+    if pooled_adaptation is None:
+        pooled_adaptation = num_chains > 1
+
+    # fused Pallas leapfrog dispatch: quadratic targets (the all-Gaussian /
+    # conjugate zoo) run the whole chain batch in VMEM-resident blocks,
+    # SURVEY.md §2a extension row / §7.6. Auto: TPU only and only at
+    # dim >= FUSED_QUADRATIC_MIN_DIM (below that the 128-lane padding
+    # makes the MXU formulation a net loss); force with
+    # use_fused_quadratic=True (non-TPU backends then run the kernel in
+    # interpret mode — slow, for tests).
+    quad = None
+    dim = u0_flat.shape[0]
+    if use_fused_quadratic or (use_fused_quadratic is None
+                               and jax.default_backend() == "tpu"
+                               and dim >= FUSED_QUADRATIC_MIN_DIM):
+        quad = detect_quadratic_target(logprob_flat, dim, u0_flat.dtype)
+        if quad is None and use_fused_quadratic:
+            raise ValueError(
+                "use_fused_quadratic=True but the target's log-density is "
+                "not quadratic in the unconstrained latents (or hmc was "
+                "called inside jit, where detection cannot concretize)")
+
+    def constrain_flat(u_flat):
+        return constrain(unravel(u_flat))
+
+    @jax.jit
+    def run(k_run):
+        chain_keys = jax.random.split(k_run, num_chains)
+        # overdisperse initial points across chains
+        jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+            k, u0_flat.shape, u0_flat.dtype))(chain_keys)
+        u0s = u0_flat[None, :] + jitter
+
+        if quad is not None:
+            lam, b = quad
+            us, logps, aprobs, divs, eps = _quadratic_chains(
+                jax.random.fold_in(k_run, 0), lam, b, u0s, num_warmup,
+                num_samples, step_size, num_leapfrog, target_accept,
+                interpret=jax.default_backend() != "tpu")
+        elif pooled_adaptation:
+            us, logps, aprobs, divs, eps = _pooled_chains(
+                jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
+                num_samples, step_size, num_leapfrog, target_accept,
+                axis_name=axis_name)
+        else:
+            def run_one(k, u0f):
+                return _single_chain(k, logprob_flat, u0f, num_warmup,
+                                     num_samples, step_size, num_leapfrog,
+                                     target_accept)
+
+            us, logps, aprobs, divs, eps = jax.vmap(run_one)(chain_keys,
+                                                             u0s)
+
+        # constrain: (chains, samples, dim) -> {addr: (chains, samples, ..)}
+        samples = jax.vmap(jax.vmap(constrain_flat))(us)
+        return {
+            "samples": samples,
+            "logp": logps,
+            "accept_prob": aprobs,
+            "divergences": divs,
+            "step_size": eps,
+            "unconstrained": us,
+        }
+
+    return run
+
+
+def hmc(key, model, args, observed, **config):
     """Run adaptive HMC; returns samples in constrained space + diagnostics.
 
     Chains are vmapped — ``num_chains`` scales to 10^4 on a sharded mesh.
@@ -323,76 +420,18 @@ def hmc(key, model, args, observed, *, num_samples=1000, num_warmup=500,
     (parallel/distributed.shardmap_hmc); the fixed add-tree reduction order
     makes the adapted (eps, inv_mass) bitwise-equal across shardings.
 
-    ``use_fused_quadratic`` (default: auto-detect on TPU) routes targets
-    whose unconstrained log-density is quadratic — the all-Gaussian
-    conjugate / linear-Gaussian zoo — through the fused Pallas
-    leapfrog+logprob kernel (ops/leapfrog_pallas.py): the whole chain
-    block stays VMEM-resident across every leapfrog step. Non-quadratic
-    targets fall back to the generic path transparently.
+    ``use_fused_quadratic`` (default: auto-detect on TPU at dim >=
+    FUSED_QUADRATIC_MIN_DIM) routes targets whose unconstrained log-density
+    is quadratic — the all-Gaussian conjugate / linear-Gaussian zoo —
+    through the fused Pallas leapfrog+logprob kernel
+    (ops/leapfrog_pallas.py): the whole chain block stays VMEM-resident
+    across every leapfrog step. Non-quadratic targets fall back to the
+    generic path transparently.
+
+    For repeated invocations build the sampler once with
+    :func:`hmc_runner` and call it with fresh keys — each ``hmc()`` call
+    re-traces the program.
     """
     k_init, k_run = jax.random.split(key)
-    if init_trace is None:
-        init_trace, _ = model.generate(k_init, args, observed)
-    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
-        model, args, init_trace, observed, selection)
-    u0_flat, unravel = ravel_pytree(u0)
-
-    def logprob_flat(u_flat):
-        return logprob(unravel(u_flat))
-
-    def run_one(k, u0f):
-        return _single_chain(k, logprob_flat, u0f, num_warmup, num_samples,
-                             step_size, num_leapfrog, target_accept)
-
-    chain_keys = jax.random.split(k_run, num_chains)
-    # overdisperse initial points across chains
-    jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
-        k, u0_flat.shape, u0_flat.dtype))(chain_keys)
-    u0s = u0_flat[None, :] + jitter
-
-    if pooled_adaptation is None:
-        pooled_adaptation = num_chains > 1
-
-    # fused Pallas leapfrog dispatch: quadratic targets (the all-Gaussian /
-    # conjugate zoo) run the whole chain batch in VMEM-resident blocks,
-    # SURVEY.md §2a extension row / §7.6. Auto: TPU only; force with
-    # use_fused_quadratic=True (non-TPU backends then run the kernel in
-    # interpret mode — slow, for tests).
-    quad = None
-    if use_fused_quadratic or (use_fused_quadratic is None
-                               and jax.default_backend() == "tpu"):
-        quad = detect_quadratic_target(
-            logprob_flat, u0_flat.shape[0], u0_flat.dtype)
-        if quad is None and use_fused_quadratic:
-            raise ValueError(
-                "use_fused_quadratic=True but the target's log-density is "
-                "not quadratic in the unconstrained latents (or hmc was "
-                "called inside jit, where detection cannot concretize)")
-
-    if quad is not None:
-        lam, b = quad
-        us, logps, aprobs, divs, eps = _quadratic_chains(
-            jax.random.fold_in(k_run, 0), lam, b, u0s, num_warmup,
-            num_samples, step_size, num_leapfrog, target_accept,
-            interpret=jax.default_backend() != "tpu")
-    elif pooled_adaptation:
-        us, logps, aprobs, divs, eps = _pooled_chains(
-            jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
-            num_samples, step_size, num_leapfrog, target_accept,
-            axis_name=axis_name)
-    else:
-        us, logps, aprobs, divs, eps = jax.vmap(run_one)(chain_keys, u0s)
-
-    # constrain: (chains, samples, dim) -> {addr: (chains, samples, ...)}
-    def constrain_flat(u_flat):
-        return constrain(unravel(u_flat))
-
-    samples = jax.vmap(jax.vmap(constrain_flat))(us)
-    return {
-        "samples": samples,
-        "logp": logps,
-        "accept_prob": aprobs,
-        "divergences": divs,
-        "step_size": eps,
-        "unconstrained": us,
-    }
+    run = hmc_runner(model, args, observed, setup_key=k_init, **config)
+    return run(k_run)

@@ -65,7 +65,12 @@ def pmmh_kernel(log_prior_fn, log_ml_fn, proposal):
         k_prop, k_ml, k_acc = jax.random.split(key, 3)
         theta_new = proposal(k_prop, theta)
         lp_new = log_prior_fn(theta_new)
-        # skip the filter when the prior is -inf (out of support)
+        # out-of-support proposals: the estimate is MASKED to -inf, not
+        # skipped — under jit/vmap jnp.where evaluates both branches, so
+        # log_ml_fn always runs and must be total over any proposed theta
+        # (return a finite-or-nan value rather than crash; the mask
+        # discards it). A lax.cond would degenerate to the same select
+        # under the chain vmap below.
         log_ml_new = jnp.where(
             jnp.isfinite(lp_new), log_ml_fn(k_ml, theta_new), -jnp.inf)
         log_post_new = lp_new + log_ml_new

@@ -228,19 +228,32 @@ def batched_smc_step(s, kernel, constraints_t, num_particles, resampler,
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "num_particles", "resampling", "ess_threshold"))
+    "kernel", "num_particles", "resampling", "ess_threshold", "auto_batch"))
 def batched_particle_filter(key, kernel, state0, init_constraints,
                             step_constraints, num_particles,
-                            resampling="systematic", ess_threshold=1.0):
+                            resampling="systematic", ess_threshold=1.0,
+                            auto_batch=False):
     """Compiled filter over a *batch-aware* ScanKernel.
 
     Unlike :func:`particle_filter` (which vmaps a per-particle kernel), the
     models here treat the particle axis as an ordinary array axis: latents
-    are sampled with ``plate(dist, n)`` (one counter stream per address),
-    constrained scores broadcast to per-particle ``(n,)`` weights, and no
-    per-particle keys are ever split — ~3x fewer threefry blocks per step,
-    and a smaller HLO. See models/spiral.py::spiral_scan_kernel_batched.
+    are sampled from ONE counter stream per address, constrained scores
+    broadcast to per-particle ``(n,)`` weights, and no per-particle keys
+    are ever split — ~3x fewer threefry blocks per step, and a smaller
+    HLO.
+
+    Pass ``auto_batch=True`` to hand in an ORDINARY per-particle
+    ScanKernel (e.g. models/spiral.py::spiral_scan_kernel): the kernel is
+    wrapped with modeling/autobatch.auto_batch_scan_kernel, which runs the
+    body per-particle under vmap while hoisting each address's draws into
+    a shared plate stream — no hand-written batch-aware model variants
+    needed. With ``auto_batch=False`` the kernel must already be
+    batch-aware (``plate(dist, n)`` addresses, per-particle weights).
     """
+    if auto_batch:
+        from modppl_tpu.modeling.autobatch import auto_batch_scan_kernel
+
+        kernel = auto_batch_scan_kernel(kernel)
     resampler = RESAMPLERS[resampling]
     s, _ = batched_smc_init(key, kernel, state0, init_constraints,
                             num_particles)

@@ -59,6 +59,17 @@ class _Handler:
     def sample(self, dist, params, addr):
         raise NotImplementedError
 
+    def _draw(self, dist, params, addr):
+        """Fresh draw at an unconstrained address (one stream per address
+        per particle). The batched-particle tier overrides this
+        (modeling/autobatch.py) to pull lane slices from ONE plate stream
+        per address."""
+        return dist.sample(self._subkey(addr), params)
+
+    def _subkey(self, addr):
+        """Key for a sub-generative-function call at ``addr``."""
+        return addr_subkey(self.key, addr)
+
     def trace_call(self, gen_fn, args, addr):
         raise NotImplementedError
 
@@ -88,7 +99,7 @@ class SimulateHandler(_Handler):
 
     def sample(self, dist, params, addr):
         # dyngenfn.rs:104-113: sample, score, store weighted leaf.
-        x = dist.sample(addr_subkey(self.key, addr), params)
+        x = self._draw(dist, params, addr)
         logp = dist.logpdf(x, params)
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
@@ -99,7 +110,7 @@ class SimulateHandler(_Handler):
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:287-296: recursive simulate; subtrace data inserted,
         # retv stored as the subtree's inner value.
-        subtrace = gen_fn.simulate(addr_subkey(self.key, addr), args)
+        subtrace = gen_fn.simulate(self._subkey(addr), args)
         sub = subtrace.data
         sub.replace_inner(subtrace.retv)
         self.tr.data.insert(addr, sub)
@@ -124,7 +135,7 @@ class GenerateHandler(_Handler):
             logp = dist.logpdf(x, params)
             self.weight = self.weight + logp
         else:
-            x = dist.sample(addr_subkey(self.key, addr), params)
+            x = self._draw(dist, params, addr)
             logp = dist.logpdf(x, params)
         self.tr.data.w_observe(addr, x, logp, dist)
         return x
@@ -137,7 +148,7 @@ class GenerateHandler(_Handler):
     def trace_call(self, gen_fn, args, addr):
         # dyngenfn.rs:298-320.
         choices = self.constraints.remove(addr)
-        k = addr_subkey(self.key, addr)
+        k = self._subkey(addr)
         if choices is not None:
             subtrace, d_weight = gen_fn.generate(k, args, choices)
             self.weight = self.weight + d_weight
@@ -196,7 +207,7 @@ class UpdateHandler(_Handler):
                 else:
                     raise ValueError("update: ArgDiff.EXTEND not supported")
             else:
-                x = dist.sample(addr_subkey(self.key, addr), params)
+                x = self._draw(dist, params, addr)
                 logp = dist.logpdf(x, params)
                 self.diff = ArgDiff.UNKNOWN
         self.tr.data.w_observe(addr, x, logp, dist)
@@ -214,7 +225,7 @@ class UpdateHandler(_Handler):
         # dyngenfn.rs:321-391.
         self.visitor.visit(addr)
         choices = self.constraints.remove(addr)
-        k = addr_subkey(self.key, addr)
+        k = self._subkey(addr)
         if choices is not None:
             prev = self.tr.data.remove(addr)
             if prev is not None:
@@ -285,7 +296,7 @@ class RegenerateHandler(_Handler):
         submask = self.mask.search(addr)
         if submask is not None:
             self.tr.data.remove(addr)  # remove (if has previous)
-            x = dist.sample(addr_subkey(self.key, addr), params)
+            x = self._draw(dist, params, addr)
             logp = dist.logpdf(x, params)
             self.diff = ArgDiff.UNKNOWN
         else:
@@ -303,7 +314,7 @@ class RegenerateHandler(_Handler):
                 else:
                     raise ValueError("regenerate: ArgDiff.EXTEND not supported")
             else:
-                x = dist.sample(addr_subkey(self.key, addr), params)
+                x = self._draw(dist, params, addr)
                 logp = dist.logpdf(x, params)
                 self.diff = ArgDiff.UNKNOWN
         self.tr.data.w_observe(addr, x, logp, dist)
@@ -320,7 +331,7 @@ class RegenerateHandler(_Handler):
         # dyngenfn.rs:393-449.
         self.visitor.visit(addr)
         submask = self.mask.search(addr)
-        k = addr_subkey(self.key, addr)
+        k = self._subkey(addr)
         prev = self.tr.data.remove(addr)
         if prev is not None:
             if submask is not None:

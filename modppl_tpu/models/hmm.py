@@ -90,12 +90,16 @@ def hmm_forward_log_ml_parallel(prior, emission_dists, transition_dists,
 
     def assoc(earlier, later):
         # composite of an earlier time range followed by a later one:
-        # product applies the later matrices on the LEFT
+        # product applies the later matrices on the LEFT. The norm is
+        # per-ELEMENT (associative_scan batches the combine over a leading
+        # axis): a global jnp.max(m) would normalize every slice by the
+        # batch max, forfeiting per-element underflow protection and tying
+        # intermediate rounding to the scan-tree layout.
         se, me = earlier
         sl, ml = later
         m = ml @ me
-        norm = jnp.max(m)
-        return se + sl + jnp.log(norm), m / norm
+        norm = jnp.max(m, axis=(-2, -1), keepdims=True)
+        return se + sl + jnp.log(norm[..., 0, 0]), m / norm
 
     s_fin, m_fin = jax.lax.associative_scan(assoc, (scales, mats))
     return s_fin[-1] + jnp.log(jnp.sum(m_fin[-1] @ alpha0))

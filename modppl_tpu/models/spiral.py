@@ -66,37 +66,8 @@ def spiral_scan_kernel():
     return ScanKernel(spiral_init, spiral_step)
 
 
-# ---- batched-particle form: the particle axis as an array axis -------------
-# (for vsmc.batched_particle_filter; plate() samples one stream per address,
-# the mvnormal obs score broadcasts to a per-particle weight.)
-
-@gen
-def spiral_init_batched(h, _state0, n):
-    """Batch-aware t == 0 arm: states (n, 2), per-particle obs weights."""
-    from modppl_tpu.dists.plate import plate
-    r = h.sample(plate(uniform, n), (0.0, 1.0), "r")
-    theta = h.sample(plate(uniform, n), (0.0, 2.0 * jnp.pi), "theta")
-    pol = jnp.stack([r, theta], axis=-1)                       # (n, 2)
-    pos = jnp.stack([pol[:, 0] * jnp.cos(pol[:, 1]),
-                     pol[:, 0] * jnp.sin(pol[:, 1])], axis=-1)
-    h.sample(mvnormal, (pos, OBS_COV), "obs")                  # logp (n,)
-    return pol
-
-
-@gen
-def spiral_step_batched(h, t, prev_pol):
-    """Batch-aware t >= 1 arm: prev_pol (n, 2) -> (n, 2)."""
-    from modppl_tpu.dists.plate import plate
-    n = prev_pol.shape[0]
-    dr = h.sample(plate(normal, n), (0.0, 0.1), "dr")
-    dtheta = h.sample(plate(normal, n), (0.4, 0.2), "dtheta")
-    pol = jnp.stack([prev_pol[:, 0] + dr, prev_pol[:, 1] + dtheta], axis=-1)
-    pos = jnp.stack([pol[:, 0] * jnp.cos(pol[:, 1]),
-                     pol[:, 0] * jnp.sin(pol[:, 1])], axis=-1)
-    h.sample(mvnormal, (pos, OBS_COV), "obs")
-    return pol
-
-
-def spiral_scan_kernel_batched():
-    from modppl_tpu.inference.vsmc import ScanKernel
-    return ScanKernel(spiral_init_batched, spiral_step_batched)
+# ---- batched-particle execution ---------------------------------------------
+# The batched tier needs no hand-written model variant: pass
+# ``auto_batch=True`` to inference/vsmc.batched_particle_filter (or wrap with
+# modeling/autobatch.auto_batch_scan_kernel) and the per-particle kernel
+# above runs with plate-per-address sampling automatically.

@@ -96,3 +96,15 @@ def test_extra_dists_in_gen_models():
     # support metadata drives the Exp bijector for HMC
     bij = latent_bijectors(tr2, obs)
     assert set(bij) == {"rate"}
+
+
+def test_binomial_negbinomial_boundary_p():
+    """xlogy edge guards: exact 0-weight outcomes at p in {0, 1} must score
+    0.0/-inf, never NaN (matching Bernoulli's edge convention)."""
+    from modppl_tpu.dists.extra import binomial, negative_binomial
+
+    assert float(binomial.logpdf(0, (5, 0.0))) == 0.0
+    assert float(binomial.logpdf(5, (5, 1.0))) == 0.0
+    assert float(binomial.logpdf(3, (5, 0.0))) == -jnp.inf
+    assert float(negative_binomial.logpdf(0, (3, 1.0))) == 0.0
+    assert not np.isnan(float(negative_binomial.logpdf(2, (3, 1.0))))

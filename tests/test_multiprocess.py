@@ -1,0 +1,74 @@
+"""True multi-process distributed-runtime test (SURVEY.md:274-276).
+
+Spawns 2 OS processes that each own 4 virtual CPU devices, bring up the
+jax.distributed coordinator (parallel/mesh.initialize_runtime — the
+DCN/communicator path that single-process suites never execute), build the
+8-device global mesh, and run the deterministic cross-shard systematic
+resampler. The 2-process result must be BITWISE-identical to the
+single-process 8-device run of the same resampler — the BASELINE.json
+determinism requirement across process layouts, not just shard counts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_resample_matches_single_process(tmp_path):
+    port = _free_port()
+    out = tmp_path / "mp_result.npz"
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-3000:]
+    got = np.load(str(out) + ".npz" if not str(out).endswith(".npz")
+                  else str(out))
+
+    # single-process oracle on the 8-device virtual mesh (same inputs)
+    import jax
+    import jax.numpy as jnp
+
+    from modppl_tpu.parallel.distributed import shardmap_resample_fn
+    from modppl_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(42)
+    lw_np = rng.standard_normal(1024)
+    lw_np = lw_np - np.logaddexp.reduce(lw_np)
+    state_np = rng.standard_normal((1024, 2))
+
+    mesh = make_mesh(sp=1)
+    resample = shardmap_resample_fn(mesh)
+    new_state, parents, log_total = resample(
+        jax.random.PRNGKey(7), jnp.asarray(lw_np), jnp.asarray(state_np))
+
+    np.testing.assert_array_equal(got["parents"], np.asarray(parents))
+    np.testing.assert_array_equal(got["state"], np.asarray(new_state))
+    np.testing.assert_array_equal(got["log_total"], np.asarray(log_total))
