@@ -24,6 +24,8 @@ from modppl_tpu.inference.kalman import (
     kalman_smoother,
     kalman_smoother_parallel,
 )
+from modppl_tpu.inference.hmc import hmc, hmc_runner
+from modppl_tpu.inference.nuts import nuts, nuts_runner
 from modppl_tpu.inference.mala import mala
 from modppl_tpu.inference.vi import advi, advi_fullrank
 from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
@@ -44,6 +46,7 @@ __all__ = [
     "kalman_smoother", "kalman_smoother_parallel",
     "pmmh", "gaussian_walk_proposal",
     "mala",
+    "hmc", "hmc_runner", "nuts", "nuts_runner",
     "particle_gibbs", "csmc_sweep",
     "advi", "advi_fullrank",
 ]

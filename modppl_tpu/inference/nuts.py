@@ -297,19 +297,20 @@ def _pooled_nuts_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
     return sw(us), sw(logps), sw(aprobs), sw(divs), sw(depths), eps
 
 
-def nuts(key, model, args, observed, *, num_samples=1000, num_warmup=500,
-         num_chains=1, step_size=0.1, max_depth=8, target_accept=0.8,
-         selection=None, init_trace=None, pooled_adaptation=None,
-         axis_name=None):
-    """Adaptive NUTS over a model's unconstrained latents; vmapped chains.
+def nuts_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
+                num_chains=1, step_size=0.1, max_depth=8, target_accept=0.8,
+                selection=None, init_trace=None, pooled_adaptation=None,
+                axis_name=None, setup_key=None):
+    """Build a reusable COMPILED NUTS sampler: returns ``run(key) -> dict``.
 
-    ``pooled_adaptation`` (default: on whenever num_chains > 1) shares one
-    (eps, inv_mass) adapted from every chain's accept statistics and draws
-    — see inference/hmc.hmc for the contract and determinism notes.
+    The NUTS counterpart of hmc.hmc_runner — setup happens once, eagerly;
+    each ``run(key)`` is one jitted program (one-shot :func:`nuts` calls
+    are tracing-dominated at scale).
     """
-    k_init, k_run = jax.random.split(key)
     if init_trace is None:
-        init_trace, _ = model.generate(k_init, args, observed)
+        init_trace, _ = model.generate(
+            setup_key if setup_key is not None else jax.random.PRNGKey(0),
+            args, observed)
     logprob, u0, bijectors, constrain = make_unconstrained_logprob(
         model, args, init_trace, observed, selection)
     u0_flat, unravel = ravel_pytree(u0)
@@ -317,36 +318,55 @@ def nuts(key, model, args, observed, *, num_samples=1000, num_warmup=500,
     def logprob_flat(u_flat):
         return logprob(unravel(u_flat))
 
-    chain_keys = jax.random.split(k_run, num_chains)
-    jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
-        k, u0_flat.shape, u0_flat.dtype))(chain_keys)
-    u0s = u0_flat[None, :] + jitter
-
     if pooled_adaptation is None:
         pooled_adaptation = num_chains > 1
-    if pooled_adaptation:
-        us, logps, aprobs, divs, depths, eps = _pooled_nuts_chains(
-            jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
-            num_samples, step_size, max_depth, target_accept,
-            axis_name=axis_name)
-    else:
-        def run_one(k, u0f):
-            return _nuts_chain(k, logprob_flat, u0f, num_warmup, num_samples,
-                               step_size, max_depth, target_accept)
-
-        us, logps, aprobs, divs, depths, eps = jax.vmap(run_one)(
-            chain_keys, u0s)
 
     def constrain_flat(u_flat):
         return constrain(unravel(u_flat))
 
-    samples = jax.vmap(jax.vmap(constrain_flat))(us)
-    return {
-        "samples": samples,
-        "logp": logps,
-        "accept_prob": aprobs,
-        "divergences": divs,
-        "tree_depth": depths,
-        "step_size": eps,
-        "unconstrained": us,
-    }
+    @jax.jit
+    def run(k_run):
+        chain_keys = jax.random.split(k_run, num_chains)
+        jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+            k, u0_flat.shape, u0_flat.dtype))(chain_keys)
+        u0s = u0_flat[None, :] + jitter
+
+        if pooled_adaptation:
+            us, logps, aprobs, divs, depths, eps = _pooled_nuts_chains(
+                jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
+                num_samples, step_size, max_depth, target_accept,
+                axis_name=axis_name)
+        else:
+            def run_one(k, u0f):
+                return _nuts_chain(k, logprob_flat, u0f, num_warmup,
+                                   num_samples, step_size, max_depth,
+                                   target_accept)
+
+            us, logps, aprobs, divs, depths, eps = jax.vmap(run_one)(
+                chain_keys, u0s)
+
+        samples = jax.vmap(jax.vmap(constrain_flat))(us)
+        return {
+            "samples": samples,
+            "logp": logps,
+            "accept_prob": aprobs,
+            "divergences": divs,
+            "tree_depth": depths,
+            "step_size": eps,
+            "unconstrained": us,
+        }
+
+    return run
+
+
+def nuts(key, model, args, observed, **config):
+    """Adaptive NUTS over a model's unconstrained latents; vmapped chains.
+
+    ``pooled_adaptation`` (default: on whenever num_chains > 1) shares one
+    (eps, inv_mass) adapted from every chain's accept statistics and draws
+    — see inference/hmc.hmc for the contract and determinism notes. For
+    repeated invocations build the sampler once with :func:`nuts_runner`.
+    """
+    k_init, k_run = jax.random.split(key)
+    run = nuts_runner(model, args, observed, setup_key=k_init, **config)
+    return run(k_run)

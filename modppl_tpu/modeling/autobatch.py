@@ -7,25 +7,35 @@ step than per-particle ``split``/``fold_in`` at 10^6 particles), and
 constrained scores broadcast to per-particle ``(n,)`` weights. Round 2
 required hand-written batch-aware model variants (``plate()`` addresses,
 reshaped math); this module derives the batched execution AUTOMATICALLY
-from the ordinary per-particle kernel:
+from the ordinary per-particle kernel.
 
-- the model BODY runs per-particle under ``vmap`` — indexing/stacking
-  semantics are untouched, any per-particle ``@gen`` kernel qualifies;
-- the handler's fresh-draw hook (`_Handler._draw`) is overridden so each
-  unconstrained address draws the full ``(n,)`` plate sample from the
-  SHARED (unbatched) key — under ``vmap`` that computation is unbatched,
-  so XLA hoists it out of the lane axis and each lane just gathers its
-  slice. The values are bitwise-identical to a hand-written
-  ``plate(dist, n)`` site (same ``addr_subkey`` stream, same
-  ``sample_batch`` call).
-- sites whose params are themselves per-particle (batched) cannot share a
-  plate draw without materializing an (n, n) intermediate; they fall back
-  to one ``fold_in(addr_key, lane)`` stream per lane (the per-particle
-  cost, for that site only). Sub-``trace`` calls fold the lane index the
-  same way.
+Two-pass scheme (both passes trace into the SAME jit program):
 
-Wrap a ScanKernel with :func:`auto_batch_scan_kernel` and pass it straight
-to ``batched_particle_filter``.
+1. **Record pass** — the body runs once under the same vmap structure
+   as the real pass, with a recording handler that notes every
+   fresh-draw site whose params are lane-INDEPENDENT (plain ambient
+   values, not batch tracers — the split is decided by the actual trace).
+   Outputs are discarded, so XLA dead-code-eliminates everything except
+   the recorded params; device cost ~zero.
+2. **Plate pre-draw + vmap pass** — each recorded address's full ``(n,)``
+   plate sample is drawn OUTSIDE the vmap (one ``sample_batch`` per
+   address from the shared ``addr_subkey`` stream — bitwise the values a
+   hand-written ``plate(dist, n)`` site produces), then the body runs
+   per-particle under ``vmap`` with the plate dict passed ``in_axes=0``:
+   every lane receives its slice by batching, NOT by an explicit
+   ``xs[i]`` gather (a 2^20-lane gather per address is scalar-core bound
+   on TPU — measured 10x extend slowdown in the gather formulation).
+
+The model BODY always runs per-particle — indexing/stacking semantics are
+untouched, so any static-structure per-particle ``@gen`` kernel
+qualifies. Sites whose params are themselves per-particle (batched —
+e.g. a latent whose location is the previous state) cannot share a plate
+draw; the recorder skips them and they fall back to one
+``fold_in(addr_key, lane)`` stream per lane (the per-particle cost, for
+that site only). Sub-``trace`` calls fold the lane index the same way.
+
+Wrap a ScanKernel with :func:`auto_batch_scan_kernel` or pass
+``auto_batch=True`` to ``batched_particle_filter``.
 """
 
 import jax
@@ -35,50 +45,63 @@ from modppl_tpu.core.gfi import Trace
 from modppl_tpu.core.trie import Trie
 from modppl_tpu.modeling.handlers import GenerateHandler, addr_subkey
 
-try:  # jax-internal but long-stable; used only as a fast-path test
-    from jax.interpreters.batching import BatchTracer as _BatchTracer
-except Exception:  # pragma: no cover
-    _BatchTracer = ()
-
-
 def _any_batched(tree):
-    return any(isinstance(x, _BatchTracer)
+    """True if any leaf is a vmap batch tracer (per-lane value).
+
+    Name-based: the class lives at jax._src.interpreters.batching (moved
+    across jax versions). Failure modes are safe by construction: a
+    false positive only disables the plate sharing for that site (slower,
+    correct); a false negative records a batch tracer whose use outside
+    the vmap raises jax's leaked-tracer error (loud, never silently
+    wrong).
+    """
+    return any(isinstance(x, jax.core.Tracer)
+               and type(x).__name__ == "BatchTracer"
                for x in jax.tree_util.tree_leaves(tree))
 
 
 class LaneGenerateHandler(GenerateHandler):
-    """GenerateHandler whose fresh draws come from per-address plate streams.
+    """GenerateHandler for one lane of the auto-batched vmap.
 
-    ``lane = (i, n)``: this execution is lane ``i`` of an ``n``-wide vmap
-    over particles, with the handler ``key`` SHARED (unbatched) across
-    lanes.
+    ``lane = (i, n)``; ``record`` (pass 1) collects fresh-draw sites;
+    ``pool`` (pass 2) maps addresses to this lane's pre-drawn plate value.
     """
 
-    def __init__(self, key, trace, constraints, lane):
+    def __init__(self, key, trace, constraints, lane, record=None, pool=None):
         super().__init__(key, trace, constraints)
         self.lane = lane
+        self.record = record
+        self.pool = pool
 
     def _draw(self, dist, params, addr):
         i, n = self.lane
-        k = addr_subkey(self.key, addr)
-        if _any_batched(params):
-            # per-particle params: one counter stream per lane (plate
-            # sharing would broadcast the whole (n,) base draw per lane)
-            return dist.sample(jax.random.fold_in(k, i), params)
-        return jax.tree_util.tree_map(
-            lambda xs: xs[i], dist.sample_batch(k, (n,), params))
+        if self.record is not None:
+            if not _any_batched(params):
+                # lane-independent params: the site can share one plate
+                # stream; params here are ambient-trace values, valid for
+                # the pre-draw outside the vmap
+                self.record[addr] = (dist, params)
+        elif self.pool is not None and addr in self.pool:
+            # only verified lane-independent sites were recorded, so the
+            # pre-drawn plate value applies unconditionally
+            return self.pool[addr]
+        # per-lane counter stream: pass 1 (values discarded), or a site
+        # whose params depend on per-lane state
+        return dist.sample(
+            jax.random.fold_in(addr_subkey(self.key, addr), i), params)
 
     def _subkey(self, addr):
         # sub-genfn calls get per-lane streams (correct, not plate-shared)
         return jax.random.fold_in(addr_subkey(self.key, addr), self.lane[0])
 
 
-def _lane_generate(gen_fn, key, args, constraints, i, n):
+def _lane_generate(gen_fn, key, args, constraints, i, n, record=None,
+                   pool=None):
     """Gen.generate (modeling/gen.py:72-86) with the lane handler."""
     constraints = constraints.copy()
     constraints.take_inner()
     g = LaneGenerateHandler(key, Trace(args, Trie(), None, 0.0), constraints,
-                            lane=(i, n))
+                            lane=(i, n), record=record, pool=pool)
     retv = gen_fn.fn(g, *args)
     if not g.constraints.is_empty():
         raise ValueError(
@@ -88,6 +111,23 @@ def _lane_generate(gen_fn, key, args, constraints, i, n):
     trace.logjp = trace.data.weight()
     trace.set_retv(retv)
     return trace, g.weight
+
+
+def _record_pools(gen_fn, key, lane_args_fn, vmap_args, constraints, n):
+    """Record pass (vmapped, outputs discarded -> DCE'd) + plate pre-draws.
+
+    Running the record pass under the SAME vmap structure as the real
+    pass means unbatched params are plain ambient values (directly
+    reusable for the pre-draw) while per-lane params are batch tracers
+    the recorder skips — the batched/unbatched split is decided by the
+    actual trace, not by re-deriving it.
+    """
+    rec = {}
+    jax.vmap(lambda i, *v: _lane_generate(
+        gen_fn, key, lane_args_fn(*v), constraints, i, n, record=rec)
+    )(jnp.arange(n), *vmap_args)
+    return {addr: dist.sample_batch(addr_subkey(key, addr), (n,), params)
+            for addr, (dist, params) in rec.items()}
 
 
 class AutoBatchedInit:
@@ -105,9 +145,12 @@ class AutoBatchedInit:
         *a, n = args
         a = tuple(a)
         with jax.named_scope(f"{self.__name__}.generate"):
+            pools = _record_pools(self.inner, key, lambda: a, (),
+                                  constraints, n)
             return jax.vmap(
-                lambda i: _lane_generate(self.inner, key, a, constraints,
-                                         i, n))(jnp.arange(n))
+                lambda i, pool: _lane_generate(self.inner, key, a,
+                                               constraints, i, n, pool=pool)
+            )(jnp.arange(n), pools)
 
 
 class AutoBatchedStep:
@@ -125,18 +168,21 @@ class AutoBatchedStep:
         t, state = args
         n = jax.tree_util.tree_leaves(state)[0].shape[0]
         with jax.named_scope(f"{self.__name__}.generate"):
+            pools = _record_pools(self.inner, key, lambda st: (t, st),
+                                  (state,), constraints, n)
             return jax.vmap(
-                lambda i, st: _lane_generate(self.inner, key, (t, st),
-                                             constraints, i, n)
-            )(jnp.arange(n), state)
+                lambda i, st, pool: _lane_generate(self.inner, key, (t, st),
+                                                   constraints, i, n,
+                                                   pool=pool)
+            )(jnp.arange(n), state, pools)
 
 
 def auto_batch_scan_kernel(kernel):
     """Derive a batched-particle ScanKernel from a per-particle one.
 
-    ``batched_particle_filter(key, auto_batch_scan_kernel(k), ...)`` runs
-    the fast tier on any ordinary per-particle kernel — no hand-written
-    ``plate()`` model variants needed.
+    ``batched_particle_filter(key, kernel, ..., auto_batch=True)`` (which
+    calls this) runs the fast tier on any ordinary per-particle kernel —
+    no hand-written ``plate()`` model variants needed.
     """
     from modppl_tpu.inference.vsmc import ScanKernel
 

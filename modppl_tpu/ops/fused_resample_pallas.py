@@ -101,14 +101,14 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
     e_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         # DMA sources pinned to HBM: under ANY the compiler may park them in
         # VMEM, where sub-tile slices are rejected.
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((rows, _B), lambda b, c_ref: (0, b)),
+        out_specs=pl.BlockSpec((rows, _B), lambda b, c_ref, seq_ref: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p] tiles (2 buffers)
             pltpu.VMEM((2, _SUB, _W), jnp.int32),     # A[p+1] tiles
@@ -119,18 +119,24 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
         ],
     )
 
-    def kernel(c_ref, alo_hbm, ahi_hbm, ext_hbm, out_ref,
+    def kernel(c_ref, seq_ref, alo_hbm, ahi_hbm, ext_hbm, out_ref,
                alo_vmem, ahi_vmem, e_vmem, alo_sem, ahi_sem, e_sem):
         b = pl.program_id(0)
+        nb_ = pl.num_programs(0)
         i0 = b * _B
         lo = c_ref[b]
         hi = c_ref[b + 1]
         # D rows needed: p in [lo, hi]; chunks are CH-aligned tile windows.
         k0 = lo // _CH
         num_chunks = hi // _CH - k0 + 1
+        # global chunk sequence number: DMA slots alternate ACROSS blocks,
+        # so each block's first chunk is prefetched by its predecessor and
+        # the ~1 us HBM latency never sits on the per-block critical path
+        # (round-3 profile: 4096 serialized first-chunk DMAs were the
+        # dominant kernel cost at ~800 ns/block).
+        seq0 = seq_ref[b]
 
-        def copies(k, slot):
-            chunk = k0 + k
+        def copies(chunk, slot):
             return (
                 pltpu.make_async_copy(
                     alo_hbm.at[chunk], alo_vmem.at[slot], alo_sem.at[slot]),
@@ -141,21 +147,28 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
                     e_sem.at[slot]),
             )
 
-        for cp in copies(0, 0):
-            cp.start()
+        @pl.when(b == 0)
+        def _():
+            for cp in copies(k0, 0):        # seq 0 -> slot 0
+                cp.start()
 
         i_c = i0 + jax.lax.broadcasted_iota(jnp.int32, (_B, 1), 0)  # (B, 1)
 
         def body(k, acc):
-            slot = jax.lax.rem(k, jnp.int32(2))
-            nxt = jax.lax.rem(k + jnp.int32(1), jnp.int32(2))
+            seq = seq0 + k
+            slot = jax.lax.rem(seq, jnp.int32(2))
+            nslot = jax.lax.rem(seq + jnp.int32(1), jnp.int32(2))
 
-            @pl.when(k + 1 < num_chunks)
-            def _():
-                for cp in copies(k + 1, nxt):
-                    cp.start()
+            # prefetch the next chunk in the GLOBAL sequence: the
+            # within-block successor, or the next block's first chunk
+            # (which may re-fetch the same chunk when a boundary entry is
+            # shared; the final prefetch reads the padded spare chunk)
+            nxt_chunk = jnp.where(k + 1 < num_chunks, k0 + k + 1,
+                                  c_ref[b + 1] // _CH)
+            for cp in copies(nxt_chunk, nslot):
+                cp.start()
 
-            for cp in copies(k, slot):
+            for cp in copies(k0 + k, slot):
                 cp.wait()
 
             # live sub-row range of this chunk: entries outside [lo, hi]
@@ -192,12 +205,24 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
             0, num_chunks, body, jnp.zeros((rows, _B), jnp.float32))
         out_ref[...] = acc
 
+        @pl.when(b == nb_ - 1)
+        def _():
+            # drain the dangling final prefetch (nobody consumes it)
+            for cp in copies(hi // _CH,
+                             jax.lax.rem(seq0 + num_chunks, jnp.int32(2))):
+                cp.wait()
+
+    # global chunk-sequence prefix: seq0[b] = total chunks of blocks < b
+    k0s = c[:-1] // _CH
+    nchunks = c[1:] // _CH - k0s + 1
+    seq0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(nchunks, dtype=jnp.int32)])
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(c, a_lo_pad, a_hi_pad, ext)
+    )(c, seq0, a_lo_pad, a_hi_pad, ext)
 
 
 def _split3(x):
