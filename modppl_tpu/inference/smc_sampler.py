@@ -59,6 +59,9 @@ def make_tempered_logprobs(model, args, trace, observed, selection=None):
     def logprior_flat(u_flat):
         u = unravel(u_flat)
         t, ldj = latent_constraints(u)
+        # placeholder key: assess on a FULLY-constrained trie consumes no
+        # randomness (every address scores its given value), so any key
+        # yields the same weight
         w = model.assess(jax.random.PRNGKey(0), args, t)
         return w + ldj
 
@@ -66,6 +69,7 @@ def make_tempered_logprobs(model, args, trace, observed, selection=None):
         u = unravel(u_flat)
         t, ldj = latent_constraints(u)
         t.merge(observed.copy())
+        # placeholder key: fully constrained, no randomness consumed
         w = model.assess(jax.random.PRNGKey(0), args, t)
         return w + ldj
 
