@@ -9,9 +9,11 @@ only state-space fixtures are the spiral kernel and the 3-state HMM):
 
 Latent log-volatility h drives the observation scale, so weights are
 heavy-tailed and resampling fires often — a harder filtering workload than
-the linear-Gaussian family. Written batch-aware for
-``vsmc.batched_particle_filter`` (plate sampling, per-particle weights);
-params default to daily-returns-like values.
+the linear-Gaussian family. The kernel is an ordinary per-particle pair;
+run it through ``vsmc.particle_filter`` directly or through the batched
+tier with ``batched_particle_filter(..., auto_batch=True)``
+(modeling/autobatch.py — round 3 removed the hand-written plate()
+variant). Params default to daily-returns-like values.
 """
 
 from dataclasses import dataclass
@@ -19,7 +21,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from modppl_tpu.dists import normal
-from modppl_tpu.dists.plate import plate
 from modppl_tpu.modeling import gen
 
 
@@ -32,23 +33,21 @@ class SVParams:
 
 
 def sv_scan_kernel(params: SVParams = SVParams()):
-    """Batch-aware (init, step) pair for the batched particle filter."""
+    """Per-particle (init, step) pair (vmapped or auto-batched tiers)."""
     from modppl_tpu.inference.vsmc import ScanKernel
 
     mu, phi, sigma, beta = params.mu, params.phi, params.sigma, params.beta
     sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
 
     @gen
-    def sv_init(h, _state0, n):
-        hv = h.sample(plate(normal, n), (mu, sd0), "h")
+    def sv_init(h, _state0):
+        hv = h.sample(normal, (mu, sd0), "h")
         h.sample(normal, (0.0, beta * jnp.exp(hv / 2.0)), "y")
         return hv
 
     @gen
     def sv_step(h, t, prev):
-        n = prev.shape[0]
-        hv = h.sample(plate(normal, n),
-                      (mu + phi * (prev - mu), sigma), "h")
+        hv = h.sample(normal, (mu + phi * (prev - mu), sigma), "h")
         h.sample(normal, (0.0, beta * jnp.exp(hv / 2.0)), "y")
         return hv
 

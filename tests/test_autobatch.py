@@ -148,3 +148,58 @@ def test_auto_batch_state_dependent_latents():
         k = var / s
         mu, var = mu + k * (y - mu), (1 - k) * var
     assert float(out["log_ml"]) == pytest.approx(total, abs=0.05)
+
+
+def test_auto_batch_subtrace_calls_get_distinct_lane_streams():
+    """Kernels with nested h.trace sub-calls run under auto_batch: each
+    lane's sub-call folds its lane index into the key (distinct streams),
+    and the filter still matches the exact evidence."""
+
+    @gen
+    def noise_source(h, scale):
+        return h.sample(normal, (0.0, scale), "eps")
+
+    @gen
+    def lg2_init(h, _s0):
+        x = h.trace(noise_source, (1.0,), "xsub")
+        h.sample(normal, (x, 0.3), "y")
+        return x
+
+    @gen
+    def lg2_step(h, t, prev):
+        eps = h.trace(noise_source, (0.5,), "xsub")
+        x = 0.9 * prev + eps
+        h.sample(normal, (x, 0.3), "y")
+        return x
+
+    A, Q, R = 0.9, 0.5, 0.3
+    rng = np.random.default_rng(5)
+    T = 8
+    x = rng.normal(0.0, 1.0)
+    ys_list = []
+    for t in range(T):
+        if t > 0:
+            x = A * x + rng.normal(0.0, Q)
+        ys_list.append(x + rng.normal(0.0, R))
+    ys = jnp.asarray(ys_list)
+    init_c = Trie.from_dict({"y": ys[0]})
+    step_c = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[Trie.from_dict({"y": y}) for y in ys[1:]])
+
+    out = batched_particle_filter(
+        jax.random.PRNGKey(6), ScanKernel(lg2_init, lg2_step), jnp.zeros(()),
+        init_c, step_c, 8192, ess_threshold=1.0, auto_batch=True)
+
+    # distinct streams across lanes: the step states must not collapse
+    assert float(jnp.std(out["state"])) > 0.05
+
+    mu, var, total = 0.0, 1.0, 0.0
+    for t, y in enumerate(np.asarray(ys)):
+        if t > 0:
+            mu, var = A * mu, A * A * var + Q * Q
+        s = var + R * R
+        total += -0.5 * (np.log(2 * np.pi * s) + (y - mu) ** 2 / s)
+        k = var / s
+        mu, var = mu + k * (y - mu), (1 - k) * var
+    assert float(out["log_ml"]) == pytest.approx(total, abs=0.12)

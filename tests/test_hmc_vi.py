@@ -129,3 +129,20 @@ def test_advi_fullrank_captures_correlation():
     # and the posterior mean
     mean_exact = cov_exact @ np.array([1 / 0.09, 1 / 0.09])
     np.testing.assert_allclose(np.asarray(out["mu"]), mean_exact, atol=0.05)
+
+
+def test_hmc_runner_reuse():
+    """hmc_runner compiles once and serves repeated keys; results differ
+    by key but agree on the posterior."""
+    from modppl_tpu.inference.hmc import hmc_runner
+
+    obs = Trie.from_dict({"x": 1.0})
+    run = hmc_runner(conjugate, (), obs, num_samples=400, num_warmup=200,
+                     num_chains=8)
+    out1 = run(jax.random.PRNGKey(0))
+    out2 = run(jax.random.PRNGKey(1))
+    m1 = np.asarray(out1["samples"]["mu"]).ravel()
+    m2 = np.asarray(out2["samples"]["mu"]).ravel()
+    assert not np.array_equal(m1, m2)
+    assert m1.mean() == pytest.approx(0.5, abs=0.06)
+    assert m2.mean() == pytest.approx(0.5, abs=0.06)

@@ -55,7 +55,7 @@ def test_sv_filter_log_ml_matches_grid_oracle():
     init_c, step_c = _constraints(ys)
     out = batched_particle_filter(
         jax.random.PRNGKey(1), sv_scan_kernel(params), jnp.zeros(()),
-        init_c, step_c, 8192, ess_threshold=0.5)
+        init_c, step_c, 8192, ess_threshold=0.5, auto_batch=True)
     assert float(out["log_ml"]) == pytest.approx(want, abs=0.1)
     # adaptive resampling fired at least once but not every step
     fired = int(np.sum(np.asarray(out["resampled"])))
@@ -68,7 +68,7 @@ def test_sv_posterior_tracks_true_volatility():
     init_c, step_c = _constraints(np.asarray(ys))
     out = batched_particle_filter(
         jax.random.PRNGKey(3), sv_scan_kernel(params), jnp.zeros(()),
-        init_c, step_c, 4096, ess_threshold=0.5)
+        init_c, step_c, 4096, ess_threshold=0.5, auto_batch=True)
     # final-step filtering mean within a few posterior sds of the truth
     w = jnp.exp(out["log_weights"] - jax.scipy.special.logsumexp(
         out["log_weights"]))
