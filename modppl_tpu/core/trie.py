@@ -32,7 +32,7 @@ by tests/test_native_trie.py) and is used when the extension isn't built.
 import jax
 import jax.numpy as jnp
 
-from modppl_tpu.core.address import Selection, addr_components, split_addr
+from modppl_tpu.core.address import Selection, addr_components
 
 _EMPTY = object()  # sentinel: "no inner value" (distinct from a stored None)
 

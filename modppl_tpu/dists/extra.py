@@ -9,7 +9,7 @@ picks up the right unconstraining bijectors automatically.
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, gammaln, xlogy
+from jax.scipy.special import gammaln, xlogy
 
 from modppl_tpu.dists.base import Distribution, _f
 

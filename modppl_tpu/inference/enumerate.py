@@ -11,12 +11,10 @@ generate weight is the log joint (gfi.rs:87-90). Continuous latents must be
 observed or enumerated on a user-supplied grid (Riemann-sum marginal).
 """
 
-import itertools
 
 import jax
 import jax.numpy as jnp
 
-from modppl_tpu.core.trie import Trie
 from modppl_tpu.utils import logsumexp
 
 

@@ -16,14 +16,11 @@ per-model code:
   program whose chain axis shards over the device mesh.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from modppl_tpu.inference.transforms import transform_for
-from modppl_tpu.utils import logsumexp
 
 
 # --------------------------------------------------------------------------
@@ -344,11 +341,15 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
 
     # fused Pallas leapfrog dispatch: quadratic targets (the all-Gaussian /
     # conjugate zoo) run the whole chain batch in VMEM-resident blocks,
-    # SURVEY.md §2a extension row / §7.6. Auto: TPU only and only at
-    # dim >= FUSED_QUADRATIC_MIN_DIM (below that the 128-lane padding
-    # makes the MXU formulation a net loss); force with
-    # use_fused_quadratic=True (non-TPU backends then run the kernel in
-    # interpret mode — slow, for tests).
+    # SURVEY.md §2a extension row / §7.6. Auto: TPU only at
+    # dim >= FUSED_QUADRATIC_MIN_DIM — measured (docs/performance.md): the
+    # 128-lane MXU padding loses below one full tile, and the small-d
+    # chains-on-lanes VPU kernel (ops/leapfrog_vpu_pallas.py, one launch
+    # per whole transition) is within noise of the generic path at 10^4
+    # chains and ~10% behind at 10^5 (its 8-sublane padding costs
+    # bandwidth), so the generic path stays the small-d default. Force the
+    # kernels with use_fused_quadratic=True (d <= 7 then runs the VPU
+    # kernel; non-TPU backends run interpret mode — slow, for tests).
     quad = None
     dim = u0_flat.shape[0]
     if use_fused_quadratic or (use_fused_quadratic is None

@@ -21,8 +21,6 @@ Conventions (models/lgssm.py): x_1 ~ N(mu0, P0); x_t = A x_{t-1} + N(0, Q);
 y_t = H x_t + N(0, R); ys has shape (T, E).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -14,8 +14,6 @@ Proposal: u' = u + (eps^2 / 2) grad(u) + eps * xi,  xi ~ N(0, I)
 Accept:   log u01 < logp(u') - logp(u) + log q(u | u') - log q(u' | u)
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree

@@ -8,8 +8,6 @@ trace pytree (static-structure models only; dynamic-structure /
 trans-dimensional chains use the eager kernels in inference/mh.py).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

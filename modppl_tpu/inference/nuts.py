@@ -17,17 +17,11 @@ Warmup reuses the dual-averaging + Welford mass adaptation from
 inference/hmc.py.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from modppl_tpu.inference.hmc import (
-    da_init,
-    da_update,
-    make_unconstrained_logprob,
-)
+from modppl_tpu.inference.hmc import make_unconstrained_logprob
 
 _DIVERGENCE = 1000.0
 

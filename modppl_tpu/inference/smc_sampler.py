@@ -29,8 +29,6 @@ observations ``obs``,
 both differentiable, so tempered gradients need no per-model code.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree

@@ -20,11 +20,8 @@ The whole sampler — replicas x chains x iterations — is one XLA program:
 ``lax.scan`` over rounds, ``vmap`` over chains, replica axis vectorized.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.flatten_util import ravel_pytree
 
 from modppl_tpu.inference.smc_sampler import (
     _tempered_hmc_move,

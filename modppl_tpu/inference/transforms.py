@@ -11,7 +11,7 @@ metadata recorded on its trie leaf at trace time.
 """
 
 import jax.numpy as jnp
-from jax.nn import log_sigmoid, sigmoid, softplus
+from jax.nn import log_sigmoid, sigmoid
 
 
 class Bijector:

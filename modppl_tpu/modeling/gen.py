@@ -27,7 +27,7 @@ first element of ``args`` — a plain immutable pytree.
 
 import jax
 
-from modppl_tpu.core.gfi import ArgDiff, GenFn, Trace
+from modppl_tpu.core.gfi import GenFn, Trace
 from modppl_tpu.core.trie import Trie
 from modppl_tpu.modeling.handlers import (
     GenerateHandler,

@@ -15,7 +15,6 @@ kernel under ``lax.scan`` over time and ``vmap`` over particles.
 """
 
 import jax
-import jax.numpy as jnp
 
 from modppl_tpu.core.gfi import ArgDiff, GenFn, Trace
 

@@ -122,7 +122,17 @@ def fused_leapfrog(u, p, eps, lam, b, inv_mass, num_steps, interpret=False,
 
 
 def quadratic_logp(u, lam, b):
-    """logp(u) = -1/2 u^T Λ u + b^T u, batched over rows of u."""
+    """logp(u) = -1/2 u^T Λ u + b^T u, batched over rows of u.
+
+    Small dims use the broadcast-multiply-sum form: a (N, d) @ (d, d) dot
+    over a huge batch pads the tiny contraction to MXU tiles
+    (docs/performance.md rule 2); the elementwise form is pure VPU.
+    """
+    from modppl_tpu.ops.smalllinalg import SMALL_DIM_MAX, matvec_small
+
+    if u.shape[-1] <= SMALL_DIM_MAX:
+        return (-0.5 * jnp.sum(u * matvec_small(lam, u), axis=-1)
+                + jnp.sum(u * b, axis=-1))
     return -0.5 * jnp.sum(u * (u @ lam), axis=-1) + u @ b
 
 
@@ -131,10 +141,28 @@ def hmc_transition_quadratic(key, u, eps, lam, b, inv_mass, num_leapfrog,
     """One batched HMC transition on the quadratic target via the fused
     kernel. Mirrors inference/hmc.py:hmc_transition (momentum refresh,
     Metropolis accept, divergence guard), but the whole chain batch is one
-    pallas_call. Returns (u', logp(u'), accept_prob, divergent) per chain."""
+    pallas_call. Returns (u', logp(u'), accept_prob, divergent) per chain.
+
+    Dispatch by dim: d <= 7 runs the chains-on-lanes VPU kernel
+    (ops/leapfrog_vpu_pallas.py) which fuses the WHOLE transition —
+    integration, Hamiltonians, Metropolis accept and selection — into one
+    launch (the generic path's ~25 small kernels' launch overheads
+    dominate at tiny per-chain work); larger d runs the MXU-tiled kernel
+    here.
+    """
+    from modppl_tpu.ops.leapfrog_vpu_pallas import (
+        MAX_DIM_VPU,
+        hmc_transition_small,
+    )
+
     k_mom, k_acc = jax.random.split(key)
     n, d = u.shape
     p0 = jax.random.normal(k_mom, (n, d), u.dtype) / jnp.sqrt(inv_mass)
+    if d <= MAX_DIM_VPU:
+        u01 = jax.random.uniform(k_acc, (n,), u.dtype)
+        (u_out, _), logp_out, accept_prob, divergent, _, _ =             hmc_transition_small(u, p0, eps, u01, lam, b, inv_mass,
+                                 num_leapfrog, interpret=interpret)
+        return u_out, logp_out, accept_prob, divergent
     u1, p1 = fused_leapfrog(u, p0, eps, lam, b, inv_mass, num_leapfrog,
                             interpret=interpret)
     logp0 = quadratic_logp(u, lam, b)

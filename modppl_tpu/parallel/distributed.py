@@ -22,14 +22,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from modppl_tpu.inference import vsmc
 from modppl_tpu.parallel.mesh import constrain_particles
-from modppl_tpu.parallel.resample import RESAMPLERS, gather_particles, \
-    systematic_parents
-from modppl_tpu.utils import effective_sample_size_from_log_weights, logsumexp
+from modppl_tpu.parallel.resample import RESAMPLERS, systematic_parents
+from modppl_tpu.utils import logsumexp
 
 
 # --------------------------------------------------------------------------
