@@ -10,8 +10,18 @@
    (quadratic branch conditioned, so the continuous (a, b, c) posterior is
    exact-tractable); ESS via Geyer initial-monotone-sequence autocorrelation
    on the b coefficient, divided by total wall time (warmup + sampling).
-   On TPU the quadratic target auto-dispatches to the fused Pallas
-   leapfrog+logprob kernel (ops/leapfrog_pallas.py).
+   At d = 3 this runs the GENERIC pooled-adaptation path — auto-dispatch
+   to the fused Pallas leapfrog kernel only engages at
+   d >= FUSED_QUADRATIC_MIN_DIM = 128 (hmc.py), where the MXU tiling pays
+   off (docs/performance.md).
+3. HMC ESS/s at d = 128 on a correlated, ill-conditioned Gaussian target
+   (condition number 10^4): the leg where ops/leapfrog_pallas.py actually
+   dispatches on TPU. Reports MIN-across-coordinates ESS — the hardest
+   coordinate bounds the usable sample size — so the pooled mass-matrix
+   adaptation is genuinely stressed.
+4. NUTS ESS/s on the same hierarchical target (BASELINE configs[3]
+   "NUTS/HMC"): measures the vmapped while_loop batch-max cost in the
+   realistic multi-chain setting (see docs/performance.md round-4 notes).
 
 vs_baseline for both lines is measured against a 1e6/s north-star scale
 (the reference publishes no throughput numbers at all; BASELINE.md rows
@@ -85,6 +95,120 @@ def bench_hmc():
         "seconds": round(wall, 4),
         "platform": jax.devices()[0].platform,
     }))
+
+
+def bench_hmc_d128():
+    """HMC leg 3: d=128 correlated ill-conditioned Gaussian, min-coord ESS.
+
+    On TPU the quadratic target auto-dispatches to the fused MXU leapfrog
+    kernel (ops/leapfrog_pallas.py) — this is that kernel's driver-visible
+    number. ESS is the MINIMUM across all 128 coordinates (the hardest
+    direction bounds the usable sample size)."""
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.hmc import hmc_runner
+    from modppl_tpu.models.illcond_gauss import make_illcond_gauss
+    from modppl_tpu.utils.diagnostics import ess_autocorr
+
+    d, cond = 128, 1e4
+    model = make_illcond_gauss(d, cond)
+    num_chains, num_warmup, num_samples = 4096, 300, 256
+
+    run = hmc_runner(model, (), Trie(), num_samples=num_samples,
+                     num_warmup=num_warmup, num_chains=num_chains,
+                     num_leapfrog=32, setup_key=jax.random.PRNGKey(99))
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out["unconstrained"])
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run(jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
+
+    us = np.asarray(out["unconstrained"])  # (chains, draws, d)
+    ess_per_coord = np.array(
+        [ess_autocorr(us[:, :, j]) for j in range(d)])
+    ess_min = float(ess_per_coord.min())
+    ess_per_s = ess_min / wall
+
+    print(json.dumps({
+        "metric": "hmc_ess_per_s_d128_illcond_1chip",
+        "value": round(ess_per_s, 1),
+        "unit": "min-coord ESS/s",
+        "vs_baseline": round(ess_per_s / 1e6, 4),
+        "chains": num_chains,
+        "dim": d,
+        "condition_number": cond,
+        "num_warmup": num_warmup,
+        "num_samples": num_samples,
+        "ess_min": round(ess_min, 1),
+        "ess_median": round(float(np.median(ess_per_coord)), 1),
+        "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
+        "fused_quadratic": bool(out["fused_quadratic"]),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
+
+
+def bench_nuts():
+    """NUTS leg (BASELINE configs[3]): pooled-adaptation NUTS on the
+    hierarchical target; measures the vmapped while_loop batch-max cost in
+    the realistic multi-chain setting."""
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.nuts import nuts_runner
+    from modppl_tpu.models.hierarchical_static import (
+        NOISE,
+        make_hierarchical_static,
+    )
+    from modppl_tpu.utils.diagnostics import ess_autocorr
+
+    n_points = 10
+    xs = jnp.linspace(-1.0, 1.0, n_points)
+    ys = jnp.asarray(0.3 + 0.5 * xs - 0.8 * xs * xs
+                     + NOISE * np.random.default_rng(0).standard_normal(
+                         n_points), jnp.float32)
+    model = make_hierarchical_static(n_points)
+    observed = Trie.from_dict({"ys": ys, "is_linear": False})
+
+    num_chains, num_warmup, num_samples = 2048, 200, 300
+    run = nuts_runner(model, (xs,), observed, num_samples=num_samples,
+                      num_warmup=num_warmup, num_chains=num_chains,
+                      max_depth=6, setup_key=jax.random.PRNGKey(99))
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out["unconstrained"])
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run(jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
+
+    us = np.asarray(out["unconstrained"])  # (chains, draws, 3)
+    ess_per_coord = np.array(
+        [ess_autocorr(us[:, :, j]) for j in range(us.shape[-1])])
+    ess_min = float(ess_per_coord.min())
+    ess_per_s = ess_min / wall
+
+    print(json.dumps({
+        "metric": "nuts_ess_per_s_1chip",
+        "value": round(ess_per_s, 1),
+        "unit": "min-coord ESS/s",
+        "vs_baseline": round(ess_per_s / 1e6, 3),
+        "chains": num_chains,
+        "num_warmup": num_warmup,
+        "num_samples": num_samples,
+        "ess_min": round(ess_min, 1),
+        "mean_tree_depth": round(float(jnp.mean(out["tree_depth"])), 2),
+        "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
 
 
 def main():
@@ -163,6 +287,8 @@ def main():
     }))
     sys.stdout.flush()
     bench_hmc()
+    bench_hmc_d128()
+    bench_nuts()
 
 
 if __name__ == "__main__":

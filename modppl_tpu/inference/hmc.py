@@ -169,8 +169,11 @@ def detect_quadratic_target(logprob_flat, dim, dtype=jnp.float32,
     / linear-Gaussian zoo): there grad logp is affine, so it suffices to
     check grad(u) == grad(0) - Λ u at a few random probes with
     Λ = -hessian(0). Detection needs CONCRETE evaluation — inside an outer
-    jit trace (or on any model whose logp raises under hessian) it returns
-    None and the caller falls back to the generic path transparently.
+    jit trace it returns None (only jax's concretization errors are
+    swallowed; a genuinely buggy log-density that raises ValueError etc.
+    still fails loudly) and the caller falls back to the generic path
+    transparently. Probes are scaled by ``probe_radius`` so nonlinearities
+    away from the origin are seen by detection.
     """
     try:
         import numpy as np
@@ -183,7 +186,10 @@ def detect_quadratic_target(logprob_flat, dim, dtype=jnp.float32,
                 np.isfinite(np.asarray(g0))):
             return None
         for i in range(num_probes):
-            u = jax.random.normal(jax.random.PRNGKey(100 + i), (dim,), dtype)
+            # widen the probe radius each round (1x, 4x, 16x the unit ball)
+            # so sub-origin-scale nonlinearities are still exercised
+            u = (4.0 ** i) * jax.random.normal(
+                jax.random.PRNGKey(100 + i), (dim,), dtype)
             gu = np.asarray(jax.grad(logprob_flat)(u))
             pred = np.asarray(g0) - np.asarray(u) @ lam_c
             scale = 1.0 + np.max(np.abs(gu))
@@ -191,7 +197,11 @@ def detect_quadratic_target(logprob_flat, dim, dtype=jnp.float32,
                     np.max(np.abs(gu - pred)) > tol * scale:
                 return None
         return lam, g0
-    except Exception:
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        # called under an outer trace — detection impossible, generic path.
+        # (TracerArrayConversionError subclasses JAXTypeError directly, not
+        # ConcretizationTypeError, so both must be named.)
         return None
 
 
@@ -352,7 +362,16 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
     # kernel; non-TPU backends run interpret mode — slow, for tests).
     quad = None
     dim = u0_flat.shape[0]
+    if use_fused_quadratic and axis_name is not None:
+        # _quadratic_chains has no collective pooling and derives batch
+        # randomness from the shard-replicated key: inside shard_map it
+        # would silently duplicate chains across shards
+        raise ValueError(
+            "use_fused_quadratic=True cannot be combined with axis_name: "
+            "the fused quadratic path does not pool adaptation across "
+            "shards (use the generic pooled path under shard_map)")
     if use_fused_quadratic or (use_fused_quadratic is None
+                               and axis_name is None
                                and jax.default_backend() == "tpu"
                                and dim >= FUSED_QUADRATIC_MIN_DIM):
         quad = detect_quadratic_target(logprob_flat, dim, u0_flat.dtype)
@@ -361,6 +380,12 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                 "use_fused_quadratic=True but the target's log-density is "
                 "not quadratic in the unconstrained latents (or hmc was "
                 "called inside jit, where detection cannot concretize)")
+        if quad is not None:
+            import logging
+
+            logging.getLogger("modppl_tpu").info(
+                "hmc: quadratic target detected (dim=%d) — dispatching to "
+                "the fused Pallas leapfrog kernel", dim)
 
     def constrain_flat(u_flat):
         return constrain(unravel(u_flat))
@@ -402,6 +427,9 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
             "divergences": divs,
             "step_size": eps,
             "unconstrained": us,
+            # surfaced dispatch decision (ADVICE r3): which transition
+            # implementation actually ran
+            "fused_quadratic": jnp.asarray(quad is not None),
         }
 
     return run

@@ -45,7 +45,13 @@ def _kernel(num_steps, u_ref, p_ref, eps_ref, lam_ref, b_ref, im_ref,
     im = im_ref[...]               # (1, D) inverse mass diagonal
 
     def grad(u):
-        return b - jnp.dot(u, lam, preferred_element_type=u.dtype)
+        # HIGHEST is load-bearing: the TPU default f32 dot is a single
+        # mantissa-truncating bf16 pass; the Metropolis accept ratio is
+        # computed from trajectories of these gradients, so default
+        # precision would bias the chain's stationary distribution
+        # (~0.1 nat logp error at d ~ 128)
+        return b - jnp.dot(u, lam, preferred_element_type=u.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
 
     def body(_, carry):
         u, p, g = carry
@@ -133,7 +139,12 @@ def quadratic_logp(u, lam, b):
     if u.shape[-1] <= SMALL_DIM_MAX:
         return (-0.5 * jnp.sum(u * matvec_small(lam, u), axis=-1)
                 + jnp.sum(u * b, axis=-1))
-    return -0.5 * jnp.sum(u * (u @ lam), axis=-1) + u @ b
+    # HIGHEST: the accept ratio is computed from this logp; the default
+    # f32 dot's single bf16 pass would perturb the stationary distribution
+    # by ~0.1+ nat at d >= 128 (one (N,d)@(d,d) at 6 passes is negligible)
+    hi = jax.lax.Precision.HIGHEST
+    return (-0.5 * jnp.sum(u * jnp.dot(u, lam, precision=hi), axis=-1)
+            + jnp.dot(u, b, precision=hi))
 
 
 def hmc_transition_quadratic(key, u, eps, lam, b, inv_mass, num_leapfrog,

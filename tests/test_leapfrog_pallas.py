@@ -185,3 +185,51 @@ def test_vpu_small_kernel_matches_mxu_kernel():
     np.testing.assert_allclose(np.asarray(h0), want_h0, rtol=1e-5, atol=1e-5)
     # energy drift over the trajectory is small at this step size
     assert np.abs(np.asarray(h1) - np.asarray(h0)).mean() < 0.5
+
+
+def test_detect_quadratic_propagates_model_errors():
+    """ADVICE r3 / VERDICT r3 #9: only jax concretization errors are
+    swallowed by quadratic detection — a genuinely buggy log-density that
+    raises ValueError must fail loudly, not silently fall back."""
+    import pytest
+
+    from modppl_tpu.inference.hmc import detect_quadratic_target
+
+    def bad_logprob(u):
+        raise ValueError("model bug")
+
+    with pytest.raises(ValueError, match="model bug"):
+        detect_quadratic_target(bad_logprob, 3)
+
+
+def test_detect_quadratic_returns_none_under_trace():
+    from modppl_tpu.inference.hmc import detect_quadratic_target
+
+    lam = jnp.eye(3)
+
+    @jax.jit
+    def traced(b):
+        # inside jit the logprob closes over a tracer -> concretization
+        # error inside detection -> None -> generic fallback
+        got = detect_quadratic_target(
+            lambda u: -0.5 * u @ lam @ u + b @ u, 3)
+        assert got is None
+        return b
+
+    traced(jnp.ones(3))
+
+
+def test_fused_quadratic_rejects_axis_name():
+    """ADVICE r3: the fused quadratic path has no cross-shard pooling, so
+    combining it with axis_name must raise instead of silently producing
+    shard-duplicated chains."""
+    import pytest
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.hmc import hmc_runner
+    from modppl_tpu.models.illcond_gauss import make_illcond_gauss
+
+    model = make_illcond_gauss(8)
+    with pytest.raises(ValueError, match="axis_name"):
+        hmc_runner(model, (), Trie(), num_chains=4,
+                   use_fused_quadratic=True, axis_name="dp")
