@@ -260,13 +260,6 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
       to parallel.resample.systematic_parents; state copies bitwise exact.
     """
     n = log_normalized_weights.shape[0]
-    C = state_t.shape[0]
-    assert n % _B == 0, f"fused resample: N={n} must be a multiple of {_B}"
-    assert C <= MAX_STATE_DIM, f"fused resample: state dim {C} > {MAX_STATE_DIM}"
-    bf16 = (C <= MAX_STATE_DIM_BF16
-            and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16")))
-    rows = 16 if bf16 else 8
-
     u = jax.random.uniform(key, (), log_normalized_weights.dtype)
     cdf = jnp.cumsum(jnp.exp(log_normalized_weights))
     cdf = cdf / cdf[-1]
@@ -277,6 +270,26 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
     # ancestors). Exact integer cummax repairs sortedness; applied in every
     # systematic-resampling formulation so they stay bit-identical.
     s = jax.lax.cummax(s)
+    return resample_fused_from_s(s, state_t, interpret=interpret)
+
+
+def resample_fused_from_s(s, state_t, interpret=False):
+    """Fused ancestor + gather from a precomputed sorted slot-position
+    vector S (= cummax(ceil(N·cdf − u))). Entry point for callers that
+    compute S with their own (e.g. layout-invariant, parallel/
+    sharded_smc._det_grid_positions) CDF algorithm.
+
+    Args: s (N,) int32 sorted in [0, N]; state_t (C, N) f32.
+    Returns (new_state_t, parents) — exact integer/copy semantics of the
+    scatter+cumsum fallback on the same S.
+    """
+    n = s.shape[0]
+    C = state_t.shape[0]
+    assert n % _B == 0, f"fused resample: N={n} must be a multiple of {_B}"
+    assert C <= MAX_STATE_DIM, f"fused resample: state dim {C} > {MAX_STATE_DIM}"
+    bf16 = (C <= MAX_STATE_DIM_BF16
+            and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16")))
+    rows = 16 if bf16 else 8
 
     nb = n // _B
     boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * _B

@@ -177,30 +177,15 @@ def fused_systematic_resample_or_none(key, log_normalized_weights, tree):
     bit-identical to the fallback (same integer ancestor logic, exact
     one-hot state copies).
     """
-    import os
+    from modppl_tpu.ops.fused_resample_pallas import systematic_resample_fused
 
-    from modppl_tpu.ops.fused_resample_pallas import (
-        MAX_STATE_DIM,
-        systematic_resample_fused,
-    )
-
-    # escape hatch for Mosaic/toolchain regressions: the plain XLA path is
-    # bit-identical, just slower
-    if os.environ.get("MODPPL_DISABLE_FUSED_RESAMPLE"):
-        return None
-    if jax.default_backend() != "tpu":
-        return None
+    # escape hatch for Mosaic/toolchain regressions (via _fusable): the
+    # plain XLA path is bit-identical, just slower
     n = log_normalized_weights.shape[0]
-    if n % 256 != 0:
+    fus = _fusable(n, tree)
+    if fus is None:
         return None
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    widths = []
-    for leaf in leaves:
-        if leaf.dtype != jnp.float32 or leaf.ndim < 1 or leaf.shape[0] != n:
-            return None
-        widths.append(int(np_prod(leaf.shape[1:])))
-    if sum(widths) > MAX_STATE_DIM:
-        return None
+    leaves, treedef, widths = fus
 
     rows = [leaf.reshape(n, -1).T for leaf in leaves]   # (k_i, N) each
     state_t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
@@ -218,3 +203,49 @@ def np_prod(shape):
     for s in shape:
         out *= int(s)
     return out
+
+
+def _fusable(n, tree):
+    """Trace-time eligibility of the fused kernel for this state pytree;
+    returns (leaves, treedef, widths) or None."""
+    import os
+
+    from modppl_tpu.ops.fused_resample_pallas import MAX_STATE_DIM
+
+    if os.environ.get("MODPPL_DISABLE_FUSED_RESAMPLE"):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    if n % 256 != 0:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    widths = []
+    for leaf in leaves:
+        if leaf.dtype != jnp.float32 or leaf.ndim < 1 or leaf.shape[0] != n:
+            return None
+        widths.append(int(np_prod(leaf.shape[1:])))
+    if sum(widths) > MAX_STATE_DIM:
+        return None
+    return leaves, treedef, widths
+
+
+def fused_gather_from_s_or_none(s, tree):
+    """Fused ancestor+gather from a precomputed sorted slot-position vector
+    S (see ops/fused_resample_pallas.resample_fused_from_s), or ``None``
+    when the kernel does not apply. Used by the sharded batched tier, which
+    computes S with its layout-invariant CDF."""
+    from modppl_tpu.ops.fused_resample_pallas import resample_fused_from_s
+
+    n = s.shape[0]
+    fus = _fusable(n, tree)
+    if fus is None:
+        return None
+    leaves, treedef, widths = fus
+    rows = [leaf.reshape(n, -1).T for leaf in leaves]
+    state_t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    new_t, parents = resample_fused_from_s(s, state_t)
+    out_leaves, off = [], 0
+    for leaf, k in zip(leaves, widths):
+        out_leaves.append(new_t[off: off + k].T.reshape(leaf.shape))
+        off += k
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), parents
