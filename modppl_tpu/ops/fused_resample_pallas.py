@@ -78,8 +78,9 @@ MAX_STATE_DIM = 7          # f32 mode: C + id row <= 8 sublanes
 MAX_STATE_DIM_BF16 = 4     # bf16 mode: 3 * (C + 1) <= 16 sublanes
 
 
-@functools.partial(jax.jit, static_argnames=("n", "rows", "bf16", "interpret"))
-def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n", "rows", "mode", "interpret"))
+def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode,
+                  interpret=False):
     """Core pallas_call. See systematic_resample_fused for the public API.
 
     Args:
@@ -90,15 +91,25 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
         (SUB, W) = (8, 256) tile, keeping both the HBM slice and the VMEM
         destination aligned to the (8, 128) int32 tiling.
       a_hi_pad: same layout — A[p+1], same padding.
-      ext: (rows, A_LEN) — f32 [state rows; ancestor ids; zeros] (f32 mode)
-        or bf16 [hi parts; mid parts; lo parts; zeros] (bf16 mode).
+      ext: (rows, A_LEN) — f32 [state rows; ancestor ids; zeros] (f32 /
+        bf16k modes) or bf16 [hi parts; mid parts; lo parts; zeros]
+        (legacy pre-split bf16 mode).
       n: static output slot count (multiple of B).
-      rows: sublane height of ext (8 f32 / 16 bf16).
-      bf16: single-pass bf16 contraction vs 6-pass f32 HIGHEST.
-    Returns (rows, n) f32 — the contraction output, parts not yet summed.
+      rows: sublane height of ext (f32/bf16k: ceil((C+1)/8)*8; bf16: 16).
+      mode: contraction mode, all bitwise-exact —
+        - "f32": 6-pass f32 HIGHEST dot (the TPU default f32 dot is one
+          mantissa-truncating bf16 pass; Precision.HIGH's 3-pass bf16x3 is
+          measured NOT bit-exact for one-hot copies either);
+        - "bf16k": IN-KERNEL exact 3-way bf16 split (hi/mid/lo bit-chop of
+          each streamed f32 tile on the VPU) + three single-pass bf16 dots
+          with f32 accumulation — half the MXU passes of "f32" with none
+          of the legacy mode's HBM-side prep (round 3's measured loss);
+        - "bf16": legacy pre-split rows (kept for the record).
+    Returns (rows, n) f32 — the contraction output, parts not yet summed
+    (f32/bf16k modes return the recombined rows directly).
     """
     nb = n // _B
-    e_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    e_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -186,14 +197,38 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, bf16, interpret=False):
                 d = (t_lo & jnp.logical_not(t_hi)).astype(e_dtype)
                 e = e_vmem[slot, :, pl.ds(r * _W, _W)]  # (rows, W)
                 # (rows, W) x (B, W) contracting on W (A @ B^T form) on the
-                # MXU; exact: one nonzero per output column. bf16 mode: one
-                # native pass, parts recombined outside. f32 mode: HIGHEST
-                # is load-bearing (default f32 dot = one truncating bf16
-                # pass).
-                if bf16:
+                # MXU; exact: one nonzero per output column.
+                if mode == "bf16k":
+                    # exact in-kernel 3-way split (see _split3): bit-chop
+                    # the f32 tile into hi/mid/lo bf16 parts on the VPU,
+                    # then three SINGLE-pass bf16 dots with f32
+                    # accumulation — each part copies exactly (one nonzero
+                    # per column), so hi+mid+lo reconstructs every f32 bit
+                    mask = jnp.uint32(0xFFFF0000)
+                    xb = jax.lax.bitcast_convert_type(e, jnp.uint32)
+                    hi_p = jax.lax.bitcast_convert_type(xb & mask,
+                                                        jnp.float32)
+                    r1 = e - hi_p
+                    r1b = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+                    mid_p = jax.lax.bitcast_convert_type(r1b & mask,
+                                                         jnp.float32)
+                    lo_p = r1 - mid_p
+                    db = d.astype(jnp.bfloat16)
+                    parts = [
+                        jax.lax.dot_general(
+                            p.astype(jnp.bfloat16), db,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        for p in (hi_p, mid_p, lo_p)]
+                    # exact recombination: each part arrives exact and
+                    # hi+mid, (hi+mid)+lo are exactly representable
+                    return acc + ((parts[0] + parts[1]) + parts[2])
+                if mode == "bf16":
                     return acc + jax.lax.dot_general(
                         e, d, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                # f32: HIGHEST is load-bearing (default f32 dot = one
+                # truncating bf16 pass)
                 return acc + jax.lax.dot_general(
                     e, d, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -287,9 +322,19 @@ def resample_fused_from_s(s, state_t, interpret=False):
     C = state_t.shape[0]
     assert n % _B == 0, f"fused resample: N={n} must be a multiple of {_B}"
     assert C <= MAX_STATE_DIM, f"fused resample: state dim {C} > {MAX_STATE_DIM}"
-    bf16 = (C <= MAX_STATE_DIM_BF16
-            and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16")))
-    rows = 16 if bf16 else 8
+    # default mode: in-kernel exact bf16 split ("bf16k") — half the MXU
+    # passes of 6-pass f32 HIGHEST with no HBM-side prep; measured
+    # bit-identical to the f32 mode and the XLA fallback on a v5e.
+    # MODPPL_FUSED_RESAMPLE_MODE=f32 restores the round-3 default;
+    # MODPPL_FUSED_RESAMPLE_BF16 keeps selecting the legacy pre-split mode.
+    if (C <= MAX_STATE_DIM_BF16
+            and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16"))):
+        mode = "bf16"
+    else:
+        mode = os.environ.get("MODPPL_FUSED_RESAMPLE_MODE", "bf16k")
+    if mode not in ("f32", "bf16", "bf16k"):
+        raise ValueError(f"unknown fused-resample mode {mode!r}")
+    rows = 16 if mode == "bf16" else 8
 
     nb = n // _B
     boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * _B
@@ -313,7 +358,7 @@ def resample_fused_from_s(s, state_t, interpret=False):
     logical = jnp.concatenate(
         [logical, ids.astype(jnp.float32)[None, :]], axis=0)      # (C+1, N+1)
     D = C + 1
-    if bf16:
+    if mode == "bf16":
         hi_p, mid_p, lo_p = _split3(logical)
         parts = jnp.concatenate([hi_p, mid_p, lo_p], axis=0)      # (3D, N+1)
         ext = jnp.zeros((rows, a_len), jnp.bfloat16)
@@ -322,8 +367,9 @@ def resample_fused_from_s(s, state_t, interpret=False):
         ext = jnp.zeros((rows, a_len), jnp.float32)
         ext = ext.at[:D, : n + 1].set(logical)
 
-    out = _fused_gather(c, a_lo, a_hi, ext, n, rows, bf16, interpret=interpret)
-    if bf16:
+    out = _fused_gather(c, a_lo, a_hi, ext, n, rows, mode,
+                        interpret=interpret)
+    if mode == "bf16":
         # exact recombination: each part arrives exact (one-hot copy), and
         # hi + mid and (hi + mid) + lo are exactly representable f32 sums.
         out = out[:D] + out[D: 2 * D] + out[2 * D: 3 * D]

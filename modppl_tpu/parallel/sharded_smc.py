@@ -20,9 +20,9 @@ resampling exchanges only what moves:
   block-offset prefix — the same add tree regardless of sharding (XLA's own
   cumsum lowers to different reduction orders in different programs).
 - **Ancestors**: the sorted slot-position vector S is ``all_gather``ed —
-  O(N) *int32*, never the state — and each shard computes its local slots'
-  parents by exact integer ``searchsorted`` (bit-identical to the
-  scatter+cumsum formulation in parallel/resample.py on the same S).
+  O(N) *int32*, never the state — and parents come from the exact integer
+  scatter+cumsum inverse (bit-identical to parallel/resample.py on the
+  same S; at dp=1 on TPU the fused Pallas kernel emits them for free).
 - **State exchange** moves only boundary segments: systematic ancestors are
   sorted, so shard k's parents form a contiguous source range around its own
   block. The fast path ``ppermute``s an H-row halo from each neighbour
@@ -104,38 +104,6 @@ def det_logsumexp(lw_local, axis_name, num_total):
     return m + jnp.log(s)
 
 
-def _det_cdf(w_local, axis_name, num_particles):
-    """Layout-invariant inclusive cumsum of the global weight vector.
-
-    Returns (cdf_local, total): per-block Hillis-Steele scans plus a
-    replicated prefix over ALL block totals (all_gathered in shard order,
-    scanned identically on every shard)."""
-    block = _cdf_block(num_particles)
-    n_local = w_local.shape[0]
-    if n_local % block:
-        raise ValueError(
-            f"sharded filter: local particle count {n_local} not a "
-            f"multiple of the CDF block {block}")
-    rows = jax.lax.optimization_barrier(w_local.reshape(-1, block))
-    c = _doubling_cumsum(rows)
-    totals = c[:, -1]
-    if axis_name is not None:
-        totals = jax.lax.all_gather(totals, axis_name, tiled=True)
-    offs_incl = _doubling_cumsum(totals[None, :])[0]
-    # exclusive form by SHIFT, not subtraction (x - last addend is not an
-    # exact inverse in floating point)
-    offs_excl = jnp.concatenate(
-        [jnp.zeros((1,), totals.dtype), offs_incl[:-1]])
-    if axis_name is not None:
-        idx0 = jax.lax.axis_index(axis_name) * (n_local // block)
-        my_offs = jax.lax.dynamic_slice_in_dim(
-            offs_excl, idx0, n_local // block)
-    else:
-        my_offs = offs_excl
-    cdf = (c + my_offs[:, None]).reshape(n_local)
-    return cdf, offs_incl[-1]
-
-
 def _det_grid_positions(key, lw_local, axis_name, num_particles):
     """Sorted systematic slot positions S (parallel/resample.py:34-46
     semantics) for the sharded layout: S_j = cummax(ceil(N * cdf_j - u)),
@@ -146,10 +114,35 @@ def _det_grid_positions(key, lw_local, axis_name, num_particles):
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
     e = jnp.exp(lw_local - m)
-    cdf, total = _det_cdf(e, axis_name, n)
+    # ONE blocked scan pass for both Σe (CDF + normalizer) and Σe²
+    # (ESS): the e and e² rows are stacked so the Hillis-Steele shifts
+    # touch the data once. ESS = (Σe)²/Σe² (scale-invariant).
+    block = _cdf_block(n)
+    stacked = jnp.stack([e.reshape(-1, block),
+                         (e * e).reshape(-1, block)])
+    stacked = jax.lax.optimization_barrier(stacked)
+    c2 = _doubling_cumsum(stacked)
+    totals = c2[0, :, -1]
+    sq_totals = c2[1, :, -1]
+    if axis_name is not None:
+        totals = jax.lax.all_gather(totals, axis_name, tiled=True)
+        sq_totals = jax.lax.all_gather(sq_totals, axis_name, tiled=True)
+    from modppl_tpu.inference.adaptation import _tree_sum
+
+    offs_incl = _doubling_cumsum(totals[None, :])[0]
+    offs_excl = jnp.concatenate(
+        [jnp.zeros((1,), totals.dtype), offs_incl[:-1]])
+    n_local = lw_local.shape[0]
+    if axis_name is not None:
+        idx0 = jax.lax.axis_index(axis_name) * (n_local // block)
+        my_offs = jax.lax.dynamic_slice_in_dim(
+            offs_excl, idx0, n_local // block)
+    else:
+        my_offs = offs_excl
+    cdf = (c2[0] + my_offs[:, None]).reshape(n_local)
+    total = offs_incl[-1]
     log_total = m + jnp.log(total)
-    w = e / total
-    ess = 1.0 / _det_sum(w * w, axis_name, n)
+    ess = (total * total) / _tree_sum(sq_totals)
     u = jax.random.uniform(key, (), lw_local.dtype)
     s = jnp.clip(jnp.ceil((cdf / total) * n - u), 0, n).astype(jnp.int32)
     s = jax.lax.cummax(s)  # local repair (exact integer max)
@@ -289,11 +282,22 @@ def make_resample_step(mesh, num_particles, ess_threshold, axis="dp",
             _, state_local = args
             return state_local, slots
 
-        new_state, parents = jax.lax.cond(
-            do, resample_branch, keep_branch, (s, state_local))
-        lw_out = jnp.where(do, jnp.zeros_like(lw_local), lw_local)
-        d_log_ml = jnp.where(
-            do, log_total - jnp.log(float(num_particles)), 0.0)
+        if ess_threshold >= 1.0:
+            # threshold 1.0 = resample every step (vsmc.py convention; the
+            # sole skip case, bitwise-uniform weights, makes the resample
+            # an exact identity) — specialize away the lax.cond: a cond
+            # around the Pallas gather costs ~3 ms/step inside the scan
+            # (measured v5e, N=2^20) vs ~0.4 ms unconditioned
+            new_state, parents = resample_branch((s, state_local))
+            do = jnp.asarray(True)
+            lw_out = jnp.zeros_like(lw_local)
+            d_log_ml = log_total - jnp.log(float(num_particles))
+        else:
+            new_state, parents = jax.lax.cond(
+                do, resample_branch, keep_branch, (s, state_local))
+            lw_out = jnp.where(do, jnp.zeros_like(lw_local), lw_local)
+            d_log_ml = jnp.where(
+                do, log_total - jnp.log(float(num_particles)), 0.0)
         return (jax.lax.optimization_barrier(new_state), lw_out, d_log_ml,
                 parents, ess, do)
 
