@@ -70,9 +70,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _B = 256        # output slots per grid step
-_W = 256        # lane width of one A sub-row / one MXU contraction slab
+_W = 128        # lane width of one A sub-row / one MXU contraction slab
 _SUB = 8        # sublane rows per A-tile chunk
 _CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) int32 tile)
+# round-4 sweep on a v5e at N = 2^20, bf16k mode (ms/filter, 10-step
+# spiral): (B=256,W=128) 36.8 | (256,256) 38.8 | (512,256) 41.2 |
+# (512,128) 40.5 | (128,128) 43.2 | (256,512) 44.8 | (1024,256) 51.9.
+# MXU work per output slot scales ~(B + W)·rows, so the smallest W whose
+# (8, W) int32 tile is still a native Mosaic tile (W = 128) wins; B below
+# 256 loses to per-block fixed cost.
 
 MAX_STATE_DIM = 7          # f32 mode: C + id row <= 8 sublanes
 MAX_STATE_DIM_BF16 = 4     # bf16 mode: 3 * (C + 1) <= 16 sublanes

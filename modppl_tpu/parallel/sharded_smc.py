@@ -109,21 +109,38 @@ def _det_grid_positions(key, lw_local, axis_name, num_particles):
     semantics) for the sharded layout: S_j = cummax(ceil(N * cdf_j - u)),
     computed with the layout-invariant CDF. Integer cummax crosses shards by
     exact running maxima. Returns (s_local, log_total, ess)."""
+    import os
+
     n = num_particles
+    n_local = lw_local.shape[0]
+    block = _cdf_block(n)
     m = jnp.max(lw_local)
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
-    e = jnp.exp(lw_local - m)
-    # ONE blocked scan pass for both Σe (CDF + normalizer) and Σe²
-    # (ESS): the e and e² rows are stacked so the Hillis-Steele shifts
-    # touch the data once. ESS = (Σe)²/Σe² (scale-invariant).
-    block = _cdf_block(n)
-    stacked = jnp.stack([e.reshape(-1, block),
-                         (e * e).reshape(-1, block)])
-    stacked = jax.lax.optimization_barrier(stacked)
-    c2 = _doubling_cumsum(stacked)
-    totals = c2[0, :, -1]
-    sq_totals = c2[1, :, -1]
+    use_kernel = (jax.default_backend() == "tpu" and block == 1024
+                  and n_local % block == 0
+                  and not os.environ.get("MODPPL_DISABLE_PALLAS_GRID"))
+    if use_kernel:
+        # one-pass Pallas kernels: blocks stay in VMEM across all scan
+        # levels (ops/grid_positions_pallas.py) — same fixed per-block add
+        # structure as the XLA fallback below, used for BOTH layouts on
+        # TPU, so dp=1 vs dp=8 stay bitwise-equal
+        from modppl_tpu.ops.grid_positions_pallas import stats_cumsum
+
+        cum, totals, sq_totals = stats_cumsum(
+            lw_local.reshape(-1, block), m)
+    else:
+        e = jnp.exp(lw_local - m)
+        # ONE blocked scan pass for both Σe (CDF + normalizer) and Σe²
+        # (ESS): the e and e² rows are stacked so the Hillis-Steele
+        # shifts touch the data once. ESS = (Σe)²/Σe² (scale-invariant).
+        stacked = jnp.stack([e.reshape(-1, block),
+                             (e * e).reshape(-1, block)])
+        stacked = jax.lax.optimization_barrier(stacked)
+        c2 = _doubling_cumsum(stacked)
+        cum = c2[0]
+        totals = c2[0, :, -1]
+        sq_totals = c2[1, :, -1]
     if axis_name is not None:
         totals = jax.lax.all_gather(totals, axis_name, tiled=True)
         sq_totals = jax.lax.all_gather(sq_totals, axis_name, tiled=True)
@@ -132,20 +149,32 @@ def _det_grid_positions(key, lw_local, axis_name, num_particles):
     offs_incl = _doubling_cumsum(totals[None, :])[0]
     offs_excl = jnp.concatenate(
         [jnp.zeros((1,), totals.dtype), offs_incl[:-1]])
-    n_local = lw_local.shape[0]
     if axis_name is not None:
         idx0 = jax.lax.axis_index(axis_name) * (n_local // block)
         my_offs = jax.lax.dynamic_slice_in_dim(
             offs_excl, idx0, n_local // block)
     else:
         my_offs = offs_excl
-    cdf = (c2[0] + my_offs[:, None]).reshape(n_local)
     total = offs_incl[-1]
     log_total = m + jnp.log(total)
     ess = (total * total) / _tree_sum(sq_totals)
     u = jax.random.uniform(key, (), lw_local.dtype)
-    s = jnp.clip(jnp.ceil((cdf / total) * n - u), 0, n).astype(jnp.int32)
-    s = jax.lax.cummax(s)  # local repair (exact integer max)
+    if use_kernel:
+        from modppl_tpu.ops.grid_positions_pallas import positions_cummax
+
+        s_rows, mx = positions_cummax(cum, my_offs, total, u, n)
+        # cross-block repair: running maxima of block maxes (tiny), then
+        # one elementwise max — same exact integers as a global cummax
+        prev_blk = jax.lax.associative_scan(jnp.maximum, mx)
+        prev_blk = jnp.concatenate(
+            [jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32),
+             prev_blk[:-1]])
+        s = jnp.maximum(s_rows, prev_blk[:, None]).reshape(n_local)
+    else:
+        cdf = (cum + my_offs[:, None]).reshape(n_local)
+        s = jnp.clip(jnp.ceil((cdf / total) * n - u), 0, n).astype(
+            jnp.int32)
+        s = jax.lax.cummax(s)  # local repair (exact integer max)
     if axis_name is not None:
         last = s[-1]
         lasts = jax.lax.all_gather(last, axis_name, tiled=False)
@@ -312,11 +341,12 @@ def make_resample_step(mesh, num_particles, ess_threshold, axis="dp",
 
 @partial(jax.jit, static_argnames=(
     "mesh", "kernel", "num_particles", "ess_threshold", "auto_batch",
-    "halo"))
+    "halo", "store_ancestry"))
 def sharded_batched_particle_filter(mesh, key, kernel, state0,
                                     init_constraints, step_constraints,
                                     num_particles, ess_threshold=1.0,
-                                    auto_batch=False, halo=None):
+                                    auto_batch=False, halo=None,
+                                    store_ancestry=True):
     """The fast batched-tier filter sharded over ``mesh``'s ``dp`` axis.
 
     Bitwise-deterministic across layouts: a dp=1 and a dp=8 run produce
@@ -369,7 +399,10 @@ def sharded_batched_particle_filter(mesh, key, kernel, state0,
             key, constrain_particles(trace.retv, mesh),
             constrain_particles(lw + w, mesh),
             carry.log_ml + d_log_ml, carry.t + 1)
-        return new, (parents, ess, resampled)
+        # store_ancestry=False drops the (T, N) int32 ancestry stack from
+        # the outputs (long filters / throughput runs where only states,
+        # weights and log-ML are needed — the vsmc store_traces analog)
+        return new, ((parents if store_ancestry else None), ess, resampled)
 
     s, (parents, ess, resampled) = jax.lax.scan(body, s, step_constraints)
     log_ml = s.log_ml + lse(s.log_weights) - jnp.log(float(num_particles))
