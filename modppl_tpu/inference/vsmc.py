@@ -215,24 +215,64 @@ def batched_smc_init(key, kernel, state0, constraints, num_particles):
 
 
 def batched_smc_step(s, kernel, constraints_t, num_particles, resampler,
-                     ess_threshold):
-    """One batched filter step: (maybe) resample, ONE generate to extend."""
-    key, k_res, k_gen = jax.random.split(s.key, 3)
+                     ess_threshold, proposal=None, proposal_params=None,
+                     rejuvenation=None, rejuvenation_kernel=None):
+    """One batched filter step: (maybe) resample, ONE generate to extend,
+    optionally guided and/or rejuvenated.
+
+    ``proposal`` (batched-tier): an object with ``propose(key, (t, state,
+    constraints_t[, params]), n) -> (choices, logjp)`` returning
+    per-particle batched choices — modeling/autobatch.AutoBatchedPropose
+    wraps an ordinary per-particle ``@gen`` proposal into this form. The
+    weight increment is ``model_weight - proposal_logjp`` (the general SMC
+    proposal identity), matching the vmapped tier (smc_step).
+
+    ``rejuvenation``: optional (Selection, num_moves) resample-move pass;
+    ``rejuvenation_kernel`` is the PER-PARTICLE step Gen whose regenerate
+    drives the moves (the auto-batch wrapper's ``.inner`` — regeneration
+    is inherently per-particle, so it vmaps the eager kernel)."""
+    key, k_res, k_gen, k_rej = jax.random.split(s.key, 4)
     with jax.named_scope("smc.resample"):
         s, parents, ess, resampled = _resample(
             k_res, s, resampler, ess_threshold, num_particles)
     with jax.named_scope("smc.extend"):
-        trace, w = kernel.step.generate(k_gen, (s.t, s.state), constraints_t)
+        if proposal is None:
+            trace, w = kernel.step.generate(k_gen, (s.t, s.state),
+                                            constraints_t)
+        else:
+            k_prop, k_mod = jax.random.split(k_gen)
+            pargs = ((s.t, s.state, constraints_t) if proposal_params is None
+                     else (s.t, s.state, constraints_t, proposal_params))
+            pchoices, plogjp = proposal.propose(k_prop, pargs,
+                                                num_particles)
+            # observations broadcast to the particle axis, then merged
+            # with the per-particle proposed choices -> fully batched
+            # constraints for the per-lane-constrained generate
+            cons = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (num_particles,) + jnp.shape(x)),
+                constraints_t)
+            cons.merge(pchoices)
+            trace, mw = kernel.step.generate_constrained_batched(
+                k_mod, (s.t, s.state), cons)
+            w = mw - plogjp
+    if rejuvenation is not None:
+        selection, num_moves = rejuvenation
+        inner = ScanKernel(None, rejuvenation_kernel)
+        with jax.named_scope("smc.rejuvenate"):
+            trace = _rejuvenate(k_rej, trace, inner, selection, num_moves)
     new = SMCState(key, trace.retv, s.log_weights + w, s.log_ml, s.t + 1)
     return new, (parents, ess, resampled)
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel", "num_particles", "resampling", "ess_threshold", "auto_batch"))
+    "kernel", "num_particles", "resampling", "ess_threshold", "auto_batch",
+    "proposal", "rejuvenation"))
 def batched_particle_filter(key, kernel, state0, init_constraints,
                             step_constraints, num_particles,
                             resampling="systematic", ess_threshold=1.0,
-                            auto_batch=False):
+                            auto_batch=False, proposal=None,
+                            proposal_params=None, rejuvenation=None):
     """Compiled filter over a *batch-aware* ScanKernel.
 
     Unlike :func:`particle_filter` (which vmaps a per-particle kernel), the
@@ -250,17 +290,33 @@ def batched_particle_filter(key, kernel, state0, init_constraints,
     needed. With ``auto_batch=False`` the kernel must already be
     batch-aware (``plate(dist, n)`` addresses, per-particle weights).
     """
+    rejuvenation_kernel = None
     if auto_batch:
-        from modppl_tpu.modeling.autobatch import auto_batch_scan_kernel
+        from modppl_tpu.modeling.autobatch import (
+            AutoBatchedPropose,
+            auto_batch_scan_kernel,
+        )
 
+        rejuvenation_kernel = kernel.step
         kernel = auto_batch_scan_kernel(kernel)
+        if proposal is not None:
+            proposal = AutoBatchedPropose(proposal)
+    elif proposal is not None or rejuvenation is not None:
+        raise ValueError(
+            "batched_particle_filter: proposal/rejuvenation require "
+            "auto_batch=True (the guided weights and regenerative moves "
+            "are derived from the per-particle kernel)")
     resampler = RESAMPLERS[resampling]
     s, _ = batched_smc_init(key, kernel, state0, init_constraints,
                             num_particles)
 
     def body(carry, cons_t):
         return batched_smc_step(carry, kernel, cons_t, num_particles,
-                                resampler, ess_threshold)
+                                resampler, ess_threshold,
+                                proposal=proposal,
+                                proposal_params=proposal_params,
+                                rejuvenation=rejuvenation,
+                                rejuvenation_kernel=rejuvenation_kernel)
 
     s, (parents, ess, resampled) = jax.lax.scan(body, s, step_constraints)
     log_ml = s.log_ml + logsumexp(s.log_weights) - jnp.log(float(num_particles))

@@ -176,6 +176,61 @@ class AutoBatchedStep:
                                                    pool=pool)
             )(jnp.arange(n), state, pools)
 
+    def generate_constrained_batched(self, key, args, constraints_batched):
+        """Per-lane-constrained generate: ``constraints_batched`` carries
+        PER-PARTICLE leaves (leading axis n) — the guided-filter case where
+        a proposal's choices constrain each lane differently. The record
+        pass and real pass both vmap the constraint trie with
+        ``in_axes=0``."""
+        t, state = args
+        n = jax.tree_util.tree_leaves(state)[0].shape[0]
+        with jax.named_scope(f"{self.__name__}.generate_constrained"):
+            rec = {}
+            jax.vmap(lambda i, st, cons: _lane_generate(
+                self.inner, key, (t, st), cons, i, n, record=rec)
+            )(jnp.arange(n), state, constraints_batched)
+            pools = {addr: dist.sample_batch(addr_subkey(key, addr), (n,),
+                                             params)
+                     for addr, (dist, params) in rec.items()}
+            return jax.vmap(
+                lambda i, st, cons, pool: _lane_generate(
+                    self.inner, key, (t, st), cons, i, n, pool=pool)
+            )(jnp.arange(n), state, constraints_batched, pools)
+
+
+class AutoBatchedPropose:
+    """Batched ``propose`` over a per-particle proposal Gen.
+
+    ``propose(key, (t, state, *shared), n)`` runs the proposal once per
+    lane under vmap with the plate-shared counter streams of the record/
+    pool scheme, returning ``(choices, logjp)`` with every choice leaf and
+    the log-joint batched on axis 0 — the batched-tier counterpart of
+    ``Gen.propose`` (core/gfi.py:113-116; propose = simulate + (data,
+    logjp), and generate with empty constraints IS simulate)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.__name__ = f"auto_batch_propose({inner.__name__})"
+
+    def propose(self, key, args, n):
+        t, state, *shared = args
+        shared = tuple(shared)
+        with jax.named_scope(f"{self.__name__}.propose"):
+            rec = {}
+            jax.vmap(lambda i, st: _lane_generate(
+                self.inner, key, (t, st) + shared, Trie(), i, n,
+                record=rec)
+            )(jnp.arange(n), state)
+            pools = {addr: dist.sample_batch(addr_subkey(key, addr), (n,),
+                                             params)
+                     for addr, (dist, params) in rec.items()}
+            traces, _ = jax.vmap(
+                lambda i, st, pool: _lane_generate(
+                    self.inner, key, (t, st) + shared, Trie(), i, n,
+                    pool=pool)
+            )(jnp.arange(n), state, pools)
+            return traces.data, traces.logjp
+
 
 def auto_batch_scan_kernel(kernel):
     """Derive a batched-particle ScanKernel from a per-particle one.

@@ -80,3 +80,33 @@ def test_pmmh_rejects_out_of_support():
                jnp.asarray(0.0), num_samples=300, num_chains=1,
                step_size=0.2)
     assert bool(jnp.all(jnp.abs(out["samples"]) < 0.3))
+
+
+def test_pmmh_auto_batch_log_ml_matches_kalman():
+    """smc_log_ml_fn(auto_batch=True) — VERDICT r3 #2: the batched-tier
+    estimator agrees with the exact Kalman marginal likelihood and drives
+    PMMH the same way the vmapped estimator does."""
+    from modppl_tpu.inference.pmcmc import smc_log_ml_fn
+
+    ys, init_c, step_c = _data()
+    # exact log-ML at the true parameter from the Kalman filter
+    kf = kalman_filter(_params(A_TRUE), ys)
+    exact = float(kf["log_ml"])
+
+    fn = smc_log_ml_fn(lambda a: lgssm_scan_kernel(_params(a)),
+                       jnp.zeros(1), init_c, step_c, 4096,
+                       auto_batch=True)
+    est = np.mean([float(jax.jit(fn)(jax.random.PRNGKey(i),
+                                     jnp.asarray(A_TRUE)))
+                   for i in range(4)])
+    assert abs(est - exact) < 0.1, (est, exact)
+
+    # and a short PMMH run accepts at a sane rate with the batched
+    # estimator (full posterior recovery is covered by the vmapped test)
+    def log_prior(a):
+        return jnp.where(jnp.abs(a) < 1.0, 0.0, -jnp.inf)
+
+    out = pmmh(jax.random.PRNGKey(5), log_prior, fn, jnp.asarray(0.4),
+               num_samples=50, num_chains=2, step_size=0.15)
+    acc = np.asarray(out["accept_rate"])
+    assert 0.02 < acc.min() and acc.max() < 0.98, acc
