@@ -80,8 +80,12 @@ _CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) int32 tile)
 # (8, W) int32 tile is still a native Mosaic tile (W = 128) wins; B below
 # 256 loses to per-block fixed cost.
 
-MAX_STATE_DIM = 7          # f32 mode: C + id row <= 8 sublanes
-MAX_STATE_DIM_BF16 = 4     # bf16 mode: 3 * (C + 1) <= 16 sublanes
+# f32/bf16k modes: ext rows = ceil((C + 1)/8)*8 sublanes, multi-slab up to
+# 4 (VERDICT r3 #4 — mvnormal/LGSSM-class states routinely exceed 7 f32
+# lanes; the contraction just grows sublane tiles, reusing the same D
+# compares per sub-row)
+MAX_STATE_DIM = 31
+MAX_STATE_DIM_BF16 = 4     # legacy pre-split bf16 mode: 3*(C+1) <= 16
 
 
 @functools.partial(jax.jit, static_argnames=("n", "rows", "mode", "interpret"))
@@ -340,7 +344,7 @@ def resample_fused_from_s(s, state_t, interpret=False):
         mode = os.environ.get("MODPPL_FUSED_RESAMPLE_MODE", "bf16k")
     if mode not in ("f32", "bf16", "bf16k"):
         raise ValueError(f"unknown fused-resample mode {mode!r}")
-    rows = 16 if mode == "bf16" else 8
+    rows = 16 if mode == "bf16" else max(8, -(-(C + 1) // 8) * 8)
 
     nb = n // _B
     boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * _B
