@@ -19,9 +19,67 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _hmc_case(mesh):
+    """Pooled-adaptation HMC across the mesh: the shardmap_hmc pipeline
+    with the global u0s built identically on every process (VERDICT r3 #6
+    — the bitwise claim of adaptation.py exercised over the DCN path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from modppl_tpu import Trie, gen, normal
+    from modppl_tpu.inference.hmc import (
+        _pooled_chains,
+        make_unconstrained_logprob,
+    )
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 1.0), "x")
+
+    obs = Trie.from_dict({"x": 1.0})
+    num_chains, num_warmup, num_samples, num_leapfrog = 8, 30, 4, 3
+    key = jax.random.PRNGKey(123)
+    k_init, k_run = jax.random.split(key)
+    init_trace, _ = conjugate.generate(k_init, (), obs)
+    logprob, u0, _, _ = make_unconstrained_logprob(
+        conjugate, (), init_trace, obs, None)
+    u0_flat, unravel = ravel_pytree(u0)
+
+    def logprob_flat(u_flat):
+        return logprob(unravel(u_flat))
+
+    chain_keys = jax.random.split(k_run, num_chains)
+    jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+        k, u0_flat.shape, u0_flat.dtype))(chain_keys)
+    u0s_np = np.asarray(u0_flat[None, :] + jitter)
+
+    u0s = jax.make_array_from_callback(
+        u0s_np.shape, NamedSharding(mesh, P("dp")),
+        lambda idx: u0s_np[idx])
+
+    def local_fn(k, u0s_local):
+        return _pooled_chains(k, logprob_flat, u0s_local, num_warmup,
+                              num_samples, 0.1, num_leapfrog, 0.8,
+                              axis_name="dp")
+
+    run = shard_map(local_fn, mesh=mesh,
+                    in_specs=(P(), P("dp")),
+                    out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P()),
+                    check_vma=False)
+    us, logps, aprobs, divs, eps = jax.jit(run)(
+        jax.random.fold_in(k_run, 0), u0s)
+    return us, aprobs, eps
+
+
 def main():
     port, pid, nprocs, outfile = (sys.argv[1], int(sys.argv[2]),
                                   int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "resample"
 
     import jax
 
@@ -42,6 +100,21 @@ def main():
     from modppl_tpu.parallel.distributed import shardmap_resample_fn
 
     mesh = global_mesh(sp=1)
+
+    if mode == "hmc":
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        us, aprobs, eps = _hmc_case(mesh)
+        us_full = multihost_utils.process_allgather(us, tiled=True)
+        ap_full = multihost_utils.process_allgather(aprobs, tiled=True)
+        if pid == 0:
+            np.savez(outfile, us=np.asarray(us_full),
+                     aprobs=np.asarray(ap_full), eps=np.asarray(eps))
+        multihost_utils.sync_global_devices("done")
+        print(f"worker {pid} OK")
+        return
+
     n = 1024
     # deterministic global inputs, computable identically on every process
     rng = np.random.default_rng(42)

@@ -72,3 +72,48 @@ def test_two_process_resample_matches_single_process(tmp_path):
     np.testing.assert_array_equal(got["parents"], np.asarray(parents))
     np.testing.assert_array_equal(got["state"], np.asarray(new_state))
     np.testing.assert_array_equal(got["log_total"], np.asarray(log_total))
+
+
+def test_two_process_pooled_hmc_matches_single_process(tmp_path):
+    """VERDICT r3 #6: the pooled-adaptation bitwise-equality claim
+    (adaptation.py:28-31) asserted ACROSS PROCESSES — the layout where DCN
+    collectives could silently diverge — not just across device counts."""
+    port = _free_port()
+    out = tmp_path / "mp_hmc.npz"
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2", str(out),
+             "hmc"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-3000:]
+    got = np.load(str(out) + ".npz" if not str(out).endswith(".npz")
+                  else str(out))
+
+    # single-process oracle: same pipeline on the in-process 8-device mesh
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from modppl_tpu.parallel.mesh import make_mesh
+    import tests._mp_worker as w
+
+    us, aprobs, eps = w._hmc_case(make_mesh(sp=1))
+    np.testing.assert_array_equal(got["us"], np.asarray(us))
+    np.testing.assert_array_equal(got["aprobs"], np.asarray(aprobs))
+    np.testing.assert_array_equal(got["eps"], np.asarray(eps))
