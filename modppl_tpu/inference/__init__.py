@@ -29,7 +29,15 @@ from modppl_tpu.inference.nuts import nuts, nuts_runner
 from modppl_tpu.inference.mala import mala
 from modppl_tpu.inference.vi import advi, advi_fullrank
 from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
-from modppl_tpu.inference.pmcmc import gaussian_walk_proposal, pmmh
+from modppl_tpu.inference.pmcmc import (
+    gaussian_walk_proposal,
+    pmmh,
+    smc_log_ml_fn,
+)
+from modppl_tpu.inference.checkpointed import (
+    checkpointed_hmc_runner,
+    checkpointed_particle_filter,
+)
 from modppl_tpu.inference.smc import ParticleSystem
 from modppl_tpu.inference.smc_sampler import smc_sampler
 from modppl_tpu.inference.tempering import parallel_tempering
@@ -44,7 +52,8 @@ __all__ = [
     "fivo_objective", "fit_proposal",
     "kalman_filter", "kalman_filter_parallel",
     "kalman_smoother", "kalman_smoother_parallel",
-    "pmmh", "gaussian_walk_proposal",
+    "pmmh", "gaussian_walk_proposal", "smc_log_ml_fn",
+    "checkpointed_particle_filter", "checkpointed_hmc_runner",
     "mala",
     "hmc", "hmc_runner", "nuts", "nuts_runner",
     "particle_gibbs", "csmc_sweep",

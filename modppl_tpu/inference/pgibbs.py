@@ -20,6 +20,17 @@ modppl/src/inference/particle_filter.rs, has no conditional form); built
 generically on the GFI: the pinned particle's weight and the
 ancestor-sampling scores are read off the trace's per-address logp leaves
 rather than requiring model-specific densities.
+
+Why CSMC stays on the VMAPPED tier (unlike FIVO/PMMH, which route through
+the batched plate-stream tier via ``auto_batch=True``): the sweep's
+log-ML is inseparable from its per-particle trace surgery — slot 0 is
+overwritten with the reference trajectory after every extend (_splice0),
+its weight is re-scored from the pinned generate, and validity requires
+conditional *multinomial* ancestors with slot 0 pinned. A shared plate
+stream would draw slot 0's latents from the common counter stream and
+discard them, gaining nothing (the splice dominates), while the
+per-particle vmap keeps the pinned lane an ordinary lane. The free
+particles' extend is the same vmapped generate the reference tier uses.
 """
 
 from functools import partial

@@ -15,6 +15,10 @@ from modppl_tpu.parallel.mesh import (
     particle_sharding,
     replicated,
 )
+from modppl_tpu.parallel.sharded_smc import (
+    make_resample_step,
+    sharded_batched_particle_filter,
+)
 from modppl_tpu.parallel.resample import (
     RESAMPLERS,
     fused_systematic_resample_or_none,
@@ -31,4 +35,5 @@ __all__ = [
     "RESAMPLERS", "systematic_parents", "multinomial_parents",
     "stratified_parents", "residual_parents", "gather_particles",
     "fused_systematic_resample_or_none",
+    "sharded_batched_particle_filter", "make_resample_step",
 ]

@@ -16,6 +16,15 @@ Two execution styles:
    is all-gathered in shard order and reduced locally, so ancestors are
    bitwise-identical for any dp size (the BASELINE.json determinism
    requirement), which `tests/test_sharded.py` asserts 1-vs-8 devices.
+
+SCALE NOTE (round 4): both forms here move O(N) state per shard —
+`shardmap_resample_fn` all_gathers the full particle state. They remain as
+the simple/reference implementations (and for the vmapped tier); the
+SCALABLE path is :mod:`modppl_tpu.parallel.sharded_smc`, which shards the
+fast batched tier itself and exchanges only boundary segments
+(O(N) int32 ancestors + O(halo·C) state rows per shard) with the same
+bitwise layout invariance. Use `sharded_batched_particle_filter` for the
+10^6-particle cross-host configuration (BASELINE configs[4]).
 """
 
 from functools import partial
