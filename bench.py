@@ -272,7 +272,7 @@ def main():
     # chip pays ~3 ms host round-trip per filter (measured: 45 ms device
     # time vs 73 ms serialized wall), which is dispatch artifact, not
     # framework cost; async dispatch keeps the device queue busy.
-    reps = 8
+    reps = 12
     times = []
     for r in range(2):
         t0 = time.perf_counter()

@@ -85,11 +85,13 @@ _CH = _SUB * _W  # S/state entries per DMA chunk (one full (8, W) int32 tile)
 # lanes; the contraction just grows sublane tiles, reusing the same D
 # compares per sub-row)
 MAX_STATE_DIM = 31
+MAX_STATE_DIM_PACKED = 10  # bf16p: 3C + 2 rows <= 32 sublanes
 MAX_STATE_DIM_BF16 = 4     # legacy pre-split bf16 mode: 3*(C+1) <= 16
 
 
-@functools.partial(jax.jit, static_argnames=("n", "rows", "mode", "interpret"))
-def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode,
+@functools.partial(jax.jit, static_argnames=(
+    "n", "rows", "mode", "ones_idx", "interpret"))
+def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode, ones_idx=None,
                   interpret=False):
     """Core pallas_call. See systematic_resample_fused for the public API.
 
@@ -114,12 +116,20 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode,
           each streamed f32 tile on the VPU) + three single-pass bf16 dots
           with f32 accumulation — half the MXU passes of "f32" with none
           of the legacy mode's HBM-side prep (round 3's measured loss);
-        - "bf16": legacy pre-split rows (kept for the record).
+        - "bf16": legacy pre-split rows (kept for the record);
+        - "bf16p": PACKED pre-split bf16 — ext rows are [3C split parts;
+          lane-iota row (p % W, exact: < W <= 256 in bf16); ones row], so
+          ONE bf16 dot per sub-row yields the state parts, the in-window
+          lane position of each slot's ancestor, and a hit indicator; the
+          kernel accumulates ancestor ids as lane + rowbase·hit (rowbase
+          is a per-sub-row scalar, exact in f32 for N < 2^24). A third of
+          bf16k's MXU passes — the one dot covers state AND ids.
     Returns (rows, n) f32 — the contraction output, parts not yet summed
-    (f32/bf16k modes return the recombined rows directly).
+    (f32/bf16k return recombined rows; bf16p's ones row is replaced by the
+    accumulated rowbase term — parents = lane row + that row).
     """
     nb = n // _B
-    e_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    e_dtype = jnp.bfloat16 if mode in ("bf16", "bf16p") else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -208,6 +218,16 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode,
                 e = e_vmem[slot, :, pl.ds(r * _W, _W)]  # (rows, W)
                 # (rows, W) x (B, W) contracting on W (A @ B^T form) on the
                 # MXU; exact: one nonzero per output column.
+                if mode == "bf16p":
+                    acc_mat, acc_base = acc
+                    out = jax.lax.dot_general(
+                        e, d, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # ancestor id = in-window lane + rowbase * hit; the
+                    # ones row (index ones_idx) carries the hit indicator
+                    rowbase = ((k0 + k) * _CH + r * _W).astype(jnp.float32)
+                    base_term = rowbase * out[ones_idx:ones_idx + 1, :]
+                    return acc_mat + out, acc_base + base_term
                 if mode == "bf16k":
                     # exact in-kernel 3-way split (see _split3): bit-chop
                     # the f32 tile into hi/mid/lo bf16 parts on the VPU,
@@ -246,9 +266,19 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode,
 
             return jax.lax.fori_loop(r_lo, r_hi + 1, sub_row, acc)
 
-        acc = jax.lax.fori_loop(
-            0, num_chunks, body, jnp.zeros((rows, _B), jnp.float32))
-        out_ref[...] = acc
+        acc0 = jnp.zeros((rows, _B), jnp.float32)
+        if mode == "bf16p":
+            acc0 = (acc0, jnp.zeros((1, _B), jnp.float32))
+        acc = jax.lax.fori_loop(0, num_chunks, body, acc0)
+        if mode == "bf16p":
+            acc_mat, acc_base = acc
+            out_ref[...] = acc_mat
+            # the ones row's raw total (== 1 for every slot) is useless;
+            # overwrite it with the accumulated rowbase term so parents =
+            # lane row + this row on the host side
+            out_ref[pl.ds(ones_idx, 1), :] = acc_base
+        else:
+            out_ref[...] = acc
 
         @pl.when(b == nb_ - 1)
         def _():
@@ -341,10 +371,20 @@ def resample_fused_from_s(s, state_t, interpret=False):
             and bool(os.environ.get("MODPPL_FUSED_RESAMPLE_BF16"))):
         mode = "bf16"
     else:
-        mode = os.environ.get("MODPPL_FUSED_RESAMPLE_MODE", "bf16k")
-    if mode not in ("f32", "bf16", "bf16k"):
+        default = "bf16p" if C <= MAX_STATE_DIM_PACKED else "bf16k"
+        mode = os.environ.get("MODPPL_FUSED_RESAMPLE_MODE", default)
+        if mode == "bf16p" and C > MAX_STATE_DIM_PACKED:
+            mode = "bf16k"
+    if mode not in ("f32", "bf16", "bf16k", "bf16p"):
         raise ValueError(f"unknown fused-resample mode {mode!r}")
-    rows = 16 if mode == "bf16" else max(8, -(-(C + 1) // 8) * 8)
+    if mode == "bf16":
+        rows = 16
+    elif mode == "bf16p":
+        # 3C split parts + lane row + ones row, padded to whole (16, 128)
+        # bf16 tiles (a (8, W) bf16 operand occupies a full tile anyway)
+        rows = -(-(3 * C + 2) // 16) * 16
+    else:
+        rows = max(8, -(-(C + 1) // 8) * 8)
 
     nb = n // _B
     boundaries = jnp.arange(nb + 1, dtype=jnp.int32) * _B
@@ -368,21 +408,41 @@ def resample_fused_from_s(s, state_t, interpret=False):
     logical = jnp.concatenate(
         [logical, ids.astype(jnp.float32)[None, :]], axis=0)      # (C+1, N+1)
     D = C + 1
+    ones_idx = None
     if mode == "bf16":
         hi_p, mid_p, lo_p = _split3(logical)
         parts = jnp.concatenate([hi_p, mid_p, lo_p], axis=0)      # (3D, N+1)
         ext = jnp.zeros((rows, a_len), jnp.bfloat16)
         ext = ext.at[: 3 * D, : n + 1].set(parts)
+    elif mode == "bf16p":
+        # state parts only — ids come from the lane/ones rows + in-kernel
+        # rowbase accumulation (exact: lane < W <= 256 in bf16, rowbase
+        # and totals exact in f32 for N < 2^24)
+        state_cols = logical[:C]                                  # (C, N+1)
+        hi_p, mid_p, lo_p = _split3(state_cols)
+        parts = jnp.concatenate([hi_p, mid_p, lo_p], axis=0)      # (3C, N+1)
+        ext = jnp.zeros((rows, a_len), jnp.bfloat16)
+        ext = ext.at[: 3 * C, : n + 1].set(parts)
+        lane = (jnp.arange(a_len, dtype=jnp.int32) % _W).astype(
+            jnp.bfloat16)
+        ext = ext.at[3 * C].set(lane)
+        ext = ext.at[3 * C + 1].set(jnp.ones((a_len,), jnp.bfloat16))
+        ones_idx = 3 * C + 1
     else:
         ext = jnp.zeros((rows, a_len), jnp.float32)
         ext = ext.at[:D, : n + 1].set(logical)
 
     out = _fused_gather(c, a_lo, a_hi, ext, n, rows, mode,
-                        interpret=interpret)
+                        ones_idx=ones_idx, interpret=interpret)
     if mode == "bf16":
         # exact recombination: each part arrives exact (one-hot copy), and
         # hi + mid and (hi + mid) + lo are exactly representable f32 sums.
         out = out[:D] + out[D: 2 * D] + out[2 * D: 3 * D]
+    if mode == "bf16p":
+        new_state_t = out[:C] + out[C: 2 * C] + out[2 * C: 3 * C]
+        parents = jnp.clip(
+            (out[3 * C] + out[3 * C + 1]).astype(jnp.int32), 0, n - 1)
+        return new_state_t, parents
     new_state_t = out[:C]
     parents = out[C].astype(jnp.int32)
     return new_state_t, parents
