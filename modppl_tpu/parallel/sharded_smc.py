@@ -341,12 +341,14 @@ def make_resample_step(mesh, num_particles, ess_threshold, axis="dp",
 
 @partial(jax.jit, static_argnames=(
     "mesh", "kernel", "num_particles", "ess_threshold", "auto_batch",
-    "halo", "store_ancestry"))
+    "halo", "store_ancestry", "proposal", "rejuvenation"))
 def sharded_batched_particle_filter(mesh, key, kernel, state0,
                                     init_constraints, step_constraints,
                                     num_particles, ess_threshold=1.0,
                                     auto_batch=False, halo=None,
-                                    store_ancestry=True):
+                                    store_ancestry=True, proposal=None,
+                                    proposal_params=None,
+                                    rejuvenation=None):
     """The fast batched-tier filter sharded over ``mesh``'s ``dp`` axis.
 
     Bitwise-deterministic across layouts: a dp=1 and a dp=8 run produce
@@ -363,10 +365,20 @@ def sharded_batched_particle_filter(mesh, key, kernel, state0,
     calls hit the jit cache (``mesh`` and the module-level kernel are
     hashable static arguments).
     """
+    rejuvenation_kernel = None
     if auto_batch:
-        from modppl_tpu.modeling.autobatch import auto_batch_scan_kernel
+        from modppl_tpu.modeling.autobatch import (
+            AutoBatchedPropose,
+            auto_batch_scan_kernel,
+        )
 
+        rejuvenation_kernel = kernel.step
         kernel = auto_batch_scan_kernel(kernel)
+        if proposal is not None:
+            proposal = AutoBatchedPropose(proposal)
+    elif proposal is not None or rejuvenation is not None:
+        raise ValueError(
+            "sharded filter: proposal/rejuvenation require auto_batch=True")
     n_shards = 1 if mesh is None else int(mesh.shape["dp"])
     if num_particles % max(n_shards, 1):
         raise ValueError("num_particles must divide over the dp axis")
@@ -389,12 +401,37 @@ def sharded_batched_particle_filter(mesh, key, kernel, state0,
                       s.log_ml, s.t)
 
     def body(carry, cons_t):
-        key, k_res, k_gen = jax.random.split(carry.key, 3)
+        key, k_res, k_gen, k_rej = jax.random.split(carry.key, 4)
         state, lw, d_log_ml, parents, ess, resampled = resample_step(
             k_res, carry.log_weights, carry.state)
         state = constrain_particles(state, mesh)
         lw = constrain_particles(lw, mesh)
-        trace, w = kernel.step.generate(k_gen, (carry.t, state), cons_t)
+        if proposal is None:
+            trace, w = kernel.step.generate(k_gen, (carry.t, state),
+                                            cons_t)
+        else:
+            # guided step (inference/vsmc.batched_smc_step semantics):
+            # broadcast obs + merge per-particle proposed choices; every
+            # op is elementwise over particles, so XLA partitions it with
+            # no extra collectives and partitionable threefry keeps the
+            # proposal draws layout-invariant
+            k_prop, k_mod = jax.random.split(k_gen)
+            pargs = ((carry.t, state, cons_t) if proposal_params is None
+                     else (carry.t, state, cons_t, proposal_params))
+            pchoices, plogjp = proposal.propose(k_prop, pargs,
+                                                num_particles)
+            cons = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (num_particles,) + jnp.shape(x)), cons_t)
+            cons.merge(pchoices)
+            trace, mw = kernel.step.generate_constrained_batched(
+                k_mod, (carry.t, state), cons)
+            w = mw - plogjp
+        if rejuvenation is not None:
+            selection, num_moves = rejuvenation
+            trace = vsmc._rejuvenate(
+                k_rej, trace, vsmc.ScanKernel(None, rejuvenation_kernel),
+                selection, num_moves)
         new = vsmc.SMCState(
             key, constrain_particles(trace.retv, mesh),
             constrain_particles(lw + w, mesh),

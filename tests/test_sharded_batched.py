@@ -201,3 +201,33 @@ def test_grid_positions_kernels_match_xla_path():
     s_x = jax.lax.cummax(
         jnp.clip(jnp.ceil((cdf / total) * n - u), 0, n).astype(jnp.int32))
     np.testing.assert_array_equal(np.asarray(s_k), np.asarray(s_x))
+
+
+def test_sharded_guided_rejuvenated_layout_invariance():
+    """Guided + resample-move on the SHARDED filter: bitwise-identical
+    dp=1 vs dp=8, and the Kalman log-ML gate still holds (the full
+    algorithm set of the batched tier runs under the mesh)."""
+    from modppl_tpu import select
+
+    from tests.test_batched_filter import (
+        YS,
+        _constraints,
+        kalman_log_ml,
+        lg_init,
+        lg_optimal_proposal,
+        lg_step,
+    )
+
+    init_c, step_c = _constraints()
+    kernel = ScanKernel(lg_init, lg_step)
+
+    def run(mesh):
+        return sharded_batched_particle_filter(
+            mesh, jax.random.PRNGKey(4), kernel, jnp.zeros(()), init_c,
+            step_c, 2048, auto_batch=True, proposal=lg_optimal_proposal,
+            rejuvenation=(select("x"), 1))
+
+    out1 = run(None)
+    out8 = run(make_mesh(sp=1))
+    _assert_bitwise_equal(out1, out8)
+    assert abs(float(out8["log_ml"]) - kalman_log_ml(YS)) < 0.1
