@@ -10,10 +10,12 @@
    (quadratic branch conditioned, so the continuous (a, b, c) posterior is
    exact-tractable); ESS via Geyer initial-monotone-sequence autocorrelation
    on the b coefficient, divided by total wall time (warmup + sampling).
-   At d = 3 this runs the GENERIC pooled-adaptation path — auto-dispatch
-   to the fused Pallas leapfrog kernel only engages at
-   d >= FUSED_QUADRATIC_MIN_DIM = 128 (hmc.py), where the MXU tiling pays
-   off (docs/performance.md).
+   At d = 3 on TPU the quadratic target auto-dispatches (round 4) to the
+   CHUNKED VPU kernels — the whole pooled warmup and the whole sampling
+   phase run as one kernel launch each (ops/leapfrog_vpu_pallas), 4.5x
+   the scanned generic path's ESS/s at 10^4 chains (docs/performance.md
+   round-4 notes). The d in [7, 127] gap keeps the generic path; d >= 128
+   uses the MXU-tiled kernel (leg 3).
 3. HMC ESS/s at d = 128 on a correlated, ill-conditioned Gaussian target
    (condition number 10^4): the leg where ops/leapfrog_pallas.py actually
    dispatches on TPU. Reports MIN-across-coordinates ESS — the hardest

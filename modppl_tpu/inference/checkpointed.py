@@ -13,6 +13,8 @@ carry every ``checkpoint_every`` steps:
   remainder), so the steady-state cost matches the monolithic scan.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -46,8 +48,6 @@ def checkpointed_particle_filter(key, kernel, state0, init_constraints,
     """
     resampler = vsmc.RESAMPLERS[resampling]
     total_steps = jax.tree_util.tree_leaves(step_constraints)[0].shape[0]
-
-    from functools import partial
 
     @partial(jax.jit, static_argnames=("num_steps",))
     def chunk_fn(s, cons_chunk, num_steps):
@@ -148,8 +148,6 @@ def checkpointed_hmc_runner(model, args, observed, *, checkpoint_path,
             jax.random.fold_in(key, 0), u0s, warm_transition, num_warmup,
             step_size, target_accept)
         return us, eps, inv_mass
-
-    from functools import partial
 
     @partial(jax.jit, static_argnames=("k_steps",))
     def chunk(us, eps, inv_mass, k_run, start, k_steps):

@@ -214,6 +214,29 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
     from modppl_tpu.inference.adaptation import run_warmup_pooled
     from modppl_tpu.ops.leapfrog_pallas import hmc_transition_quadratic
 
+    if u0s.shape[1] <= 6:
+        # round 4: BOTH phases as single kernel launches — the pooled
+        # windowed warmup (dual averaging + Chan-Welford mass in VMEM
+        # scratch, ops/leapfrog_vpu_pallas.hmc_warmup_chunk_small) and the
+        # sampling chunk. The scanned per-transition path costs ~0.4 ms of
+        # launch overhead per warmup iteration (120 ms for 300 iterations
+        # at 10^4 chains, d=3, v5e); the fused pair runs the same schedule
+        # in ~15 ms (docs/performance.md round-4 notes).
+        from modppl_tpu.ops.leapfrog_vpu_pallas import (
+            hmc_sample_chunk_small,
+            hmc_warmup_chunk_small,
+        )
+
+        us, eps, inv_mass = hmc_warmup_chunk_small(
+            jax.random.fold_in(key, 0), u0s, float(eps0), lam, b,
+            num_warmup, num_leapfrog, target_accept=target_accept,
+            interpret=interpret)
+        us_t, logps, aprobs, divs, _ = hmc_sample_chunk_small(
+            jax.random.fold_in(key, 2), us, eps, lam, b, inv_mass,
+            num_samples, num_leapfrog, interpret=interpret)
+        sw = lambda x: jnp.swapaxes(x, 0, 1)
+        return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps
+
     inv_mass0 = jnp.ones(u0s.shape[1:], u0s.dtype)
 
     def batched(k, us, eps, inv_mass):
@@ -313,13 +336,20 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
     return sw(us), sw(logps), sw(aprobs), sw(divs), eps
 
 
-# threshold below which the generic (VPU-elementwise, XLA-fused) path beats
-# the MXU-tiled fused kernel: the kernel pads dim to 128 lanes, so small
-# targets waste up to (128/d)^2 of the matmul. Measured steady-state on a
-# v5e at 10^4 chains, 8 leapfrog steps (docs/performance.md): generic
-# 0.21-0.24 ms/transition for d <= 64, 0.30 at d = 128; fused flat at
-# ~0.29 ms across d. Crossover: one full MXU tile.
+# threshold above which the MXU-tiled fused kernel beats the generic
+# (VPU-elementwise, XLA-fused) path: the kernel pads dim to 128 lanes, so
+# mid-size targets waste up to (128/d)^2 of the matmul. Measured
+# steady-state on a v5e at 10^4 chains, 8 leapfrog steps
+# (docs/performance.md): generic 0.21-0.24 ms/transition for d <= 64,
+# 0.30 at d = 128; fused flat at ~0.29 ms across d.
 FUSED_QUADRATIC_MIN_DIM = 128
+# threshold below which the CHUNKED VPU kernels win (round 4): the whole
+# warmup and the whole sampling phase run as ONE launch each
+# (ops/leapfrog_vpu_pallas.hmc_warmup_chunk_small / hmc_sample_chunk_
+# small) — 0.143 -> 0.032 s for 300+500 iterations at 10^4 chains, d=3,
+# on a v5e (the scanned paths are per-iteration-launch bound). The gap
+# d in [7, 127] keeps the generic path.
+FUSED_QUADRATIC_MAX_DIM_VPU = 6
 
 
 def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
@@ -373,7 +403,8 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
     if use_fused_quadratic or (use_fused_quadratic is None
                                and axis_name is None
                                and jax.default_backend() == "tpu"
-                               and dim >= FUSED_QUADRATIC_MIN_DIM):
+                               and (dim >= FUSED_QUADRATIC_MIN_DIM
+                                    or dim <= FUSED_QUADRATIC_MAX_DIM_VPU)):
         quad = detect_quadratic_target(logprob_flat, dim, u0_flat.dtype)
         if quad is None and use_fused_quadratic:
             raise ValueError(

@@ -52,10 +52,17 @@ Contraction modes (both bitwise-exact, selected at trace time):
   finite state values (an infinite row would make x - hi NaN); particle
   states are finite by construction, and the plain-XLA fallback remains
   available via MODPPL_DISABLE_FUSED_RESAMPLE.
-- ``f32`` (C <= 7, the default): f32 dots at
+- ``f32``: f32 dots at
   Precision.HIGHEST — the TPU default f32 dot is a single bf16 pass that
   silently truncates mantissas (measured: ancestor ids quantized to
   multiples of 4 at N=2^20).
+- ``bf16k`` (round 4): the 3-way split computed IN-KERNEL per streamed
+  tile, three single-pass bf16 dots — half of f32's MXU passes, no HBM
+  prep.
+- ``bf16p`` (round 4, the default for C <= 10): packed pre-split rows
+  [3C parts; lane-iota; ones] — ONE bf16 dot per sub-row yields the state
+  copies and the ancestor ids (lane + rowbase*hit accumulation, exact in
+  f32 for N < 2^24): a third of bf16k's passes.
 
 Results are bit-identical to the scatter+cumsum formulation
 (parallel/resample.py) — same integer logic on the same S.
@@ -100,8 +107,8 @@ def _fused_gather(c, a_lo_pad, a_hi_pad, ext, n, rows, mode, ones_idx=None,
       a_lo_pad: (A_LEN // CH, SUB, W) int32, tile-major — A[p] = S[p-1]
         (A[0] = -1), padded with INT32_MAX. Entry p lives at
         [p // CH, (p % CH) // W, p % W]; every DMA moves one whole
-        (SUB, W) = (8, 256) tile, keeping both the HBM slice and the VMEM
-        destination aligned to the (8, 128) int32 tiling.
+        (SUB, W) = (8, 128) tile, keeping both the HBM slice and the VMEM
+        destination aligned to the native int32 tiling.
       a_hi_pad: same layout — A[p+1], same padding.
       ext: (rows, A_LEN) — f32 [state rows; ancestor ids; zeros] (f32 /
         bf16k modes) or bf16 [hi parts; mid parts; lo parts; zeros]
@@ -329,7 +336,8 @@ def systematic_resample_fused(key, log_normalized_weights, state_t,
     Args:
       key: PRNG key for the single stratification uniform.
       log_normalized_weights: (N,) with N % 256 == 0.
-      state_t: (C, N) transposed particle state, C <= 7, float32, finite.
+      state_t: (C, N) transposed particle state, C <= MAX_STATE_DIM (31),
+        float32, finite.
     Returns:
       (new_state_t (C, N) f32, parents (N,) int32) — parents bit-identical
       to parallel.resample.systematic_parents; state copies bitwise exact.

@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _SUB = 8          # sublane rows: d <= 7 state rows + padding
 _LANE = 128
@@ -47,12 +48,12 @@ def _pad_lanes(x, n):
     return jnp.pad(x, widths)
 
 
-def _kernel(num_steps, d, u_ref, p_ref, eps_ref, u01_ref, par_ref,
-            uo_ref, po_ref, st_ref):
-    u0 = u_ref[...]                   # (8, BC)
-    p = p_ref[...]
-    eps = eps_ref[0:1, :]             # (1, BC) per-chain step size
-    u01 = u01_ref[0:1, :]             # (1, BC) accept uniforms
+def _transition_core(num_steps, d, u0, p, eps, u01, par_ref, im_fn=None):
+    """One HMC transition on (8, BC) blocks — shared by the single-
+    transition kernel and the chunked samplers. Returns
+    (u_out, p_end, logp_out, aprob, divergent, h0, h1), each (·, BC).
+    ``im_fn(j)`` overrides the inverse-mass read (the warmup kernel keeps
+    an evolving inverse mass in scratch)."""
 
     def lam(j, k):
         return par_ref[j, k]          # static-index scalar read
@@ -60,8 +61,8 @@ def _kernel(num_steps, d, u_ref, p_ref, eps_ref, u01_ref, par_ref,
     def bvec(j):
         return par_ref[j, MAX_DIM_VPU]
 
-    def im(j):
-        return par_ref[j, MAX_DIM_VPU + 1]
+    im = im_fn if im_fn is not None else (
+        lambda j: par_ref[j, MAX_DIM_VPU + 1])
 
     def row(x, j):
         return x[j: j + 1, :]         # (1, BC) static sublane slice
@@ -105,13 +106,24 @@ def _kernel(num_steps, d, u_ref, p_ref, eps_ref, u01_ref, par_ref,
     aprob = jnp.where(divergent, 0.0,
                       jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
     accept = u01 < aprob
-    uo_ref[...] = jnp.where(accept, u, u0)
+    u_out = jnp.where(accept, u, u0)
+    logp_out = jnp.where(accept, logp1, logp0)
+    return u_out, p, logp_out, aprob, divergent, h0, h1
+
+
+def _kernel(num_steps, d, u_ref, p_ref, eps_ref, u01_ref, par_ref,
+            uo_ref, po_ref, st_ref):
+    u0 = u_ref[...]                   # (8, BC)
+    u_out, p, logp_out, aprob, divergent, h0, h1 = _transition_core(
+        num_steps, d, u0, p_ref[...], eps_ref[0:1, :], u01_ref[0:1, :],
+        par_ref)
+    uo_ref[...] = u_out
     po_ref[...] = p
     bc = u0.shape[-1]
     zeros = jnp.zeros((_SUB - 5, bc), u0.dtype)
     st_ref[...] = jnp.concatenate(
-        [jnp.where(accept, logp1, logp0), aprob,
-         divergent.astype(u0.dtype), h0, h1, zeros], axis=0)
+        [logp_out, aprob, divergent.astype(u0.dtype), h0, h1, zeros],
+        axis=0)
 
 
 @functools.partial(jax.jit,
@@ -171,6 +183,98 @@ def hmc_transition_small(u, p, eps, u01, lam, b, inv_mass, num_steps,
             st[_ROW_H0, :n], st[_ROW_H1, :n])
 
 
+def _chunk_kernel(num_steps, d, u0_ref, aux_ref, par_ref, out_ref, u_scr):
+    """Grid = (num_samples,): one transition per grid step, the chain
+    block carried in VMEM scratch across steps — the whole sampling phase
+    is ONE kernel launch (the generic path pays ~25 small XLA kernel
+    launches per transition, which dominates at small d)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        u_scr[...] = u0_ref[...]
+
+    aux = aux_ref[0]                  # (8, BC): rows 0..d-1 momenta,
+    p = jnp.concatenate(              # row d eps, row d+1 accept uniform
+        [aux[:d], jnp.zeros((_SUB - d, aux.shape[-1]), aux.dtype)], axis=0)
+    eps = aux[d: d + 1, :]
+    u01 = aux[d + 1: d + 2, :]
+    u_out, _, logp_out, aprob, divergent, _, _ = _transition_core(
+        num_steps, d, u_scr[...], p, eps, u01, par_ref)
+    u_scr[...] = u_out
+    # pack samples + stats into one (8, BC) output row block
+    bc = aux.shape[-1]
+    out_ref[0] = jnp.concatenate(
+        [u_out[:d], logp_out, aprob, divergent.astype(aux.dtype),
+         jnp.zeros((_SUB - d - 3, bc), aux.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_samples", "num_steps", "interpret"))
+def hmc_sample_chunk_small(key, u, eps, lam, b, inv_mass, num_samples,
+                           num_steps, interpret=False):
+    """Run ``num_samples`` whole HMC transitions in ONE pallas_call.
+
+    The chain block (chains on lanes, dims on sublanes) stays resident in
+    VMEM scratch across the grid's transition axis; per-transition randoms
+    (momenta, ±50% step-size jitter, accept uniforms) are pre-drawn and
+    streamed in as one packed (T, 8, N) aux array, and each transition
+    writes its post-accept positions + (logp, accept_prob, divergent) to
+    one packed (T, 8, N) output block. Eliminates the per-transition
+    launch overhead that floors the d <= 7 generic path (~25 XLA kernels
+    per transition; docs/performance.md round-3/4 tables).
+
+    Args:
+      u: (N, d) start positions, d <= MAX_DIM_VPU - 1 (rows d, d+1 of the
+        aux block carry eps/uniforms, so d <= 6).
+      eps: shared adapted step size (scalar); jittered ±50% per
+        (transition, chain) like hmc.hmc_transition.
+    Returns (us (T, N, d), logps (T, N), aprobs (T, N), divs (T, N) bool,
+    u_final (N, d)).
+    """
+    n, d = u.shape
+    dt = u.dtype
+    assert d + 2 <= _SUB, f"hmc_sample_chunk_small: d={d} > {_SUB - 2}"
+    npad = -(-n // _LANE) * _LANE
+    T = num_samples
+
+    k_mom, k_jit, k_acc = jax.random.split(key, 3)
+    mom = jax.random.normal(k_mom, (T, d, n), dt) \
+        / jnp.sqrt(inv_mass.astype(dt))[None, :, None]
+    epsj = eps * jax.random.uniform(k_jit, (T, 1, n), dt,
+                                    minval=0.5, maxval=1.5)
+    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    aux = jnp.concatenate(
+        [mom, epsj, u01, jnp.zeros((T, _SUB - d - 2, n), dt)], axis=1)
+    # pad lanes; padded chains never accept (uniform pad = 2.0) and start
+    # at u = 0 with zero momenta, so they stay exactly 0
+    aux = _pad_lanes(aux, npad)
+    aux = aux.at[:, d + 1, n:].set(2.0)
+    u8 = _pad_lanes(jnp.zeros((_SUB, n), dt).at[:d].set(u.T), npad)
+    par = jnp.zeros((_SUB, _LANE), dt)
+    par = par.at[:d, :d].set(lam.astype(dt))
+    par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
+    par = par.at[:d, MAX_DIM_VPU + 1].set(inv_mass.astype(dt))
+
+    out = pl.pallas_call(
+        functools.partial(_chunk_kernel, num_steps, d),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((_SUB, npad), lambda t: (0, 0)),
+                  pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, _SUB, npad), dt),
+        scratch_shapes=[pltpu.VMEM((_SUB, npad), dt)],
+        interpret=interpret,
+    )(u8, aux, par)
+    us = jnp.swapaxes(out[:, :d, :n], 1, 2)          # (T, N, d)
+    logps = out[:, d, :n]
+    aprobs = out[:, d + 1, :n]
+    divs = out[:, d + 2, :n] > 0.5
+    u_final = us[-1]
+    return us, logps, aprobs, divs, u_final
+
+
 def fused_leapfrog_small(u, p, eps, lam, b, inv_mass, num_steps,
                          interpret=False, block_chains=_BC):
     """Integration-only view (testing): returns (u_L, p_L, h0, h1).
@@ -184,3 +288,214 @@ def fused_leapfrog_small(u, p, eps, lam, b, inv_mass, num_steps,
         u, p, eps, jnp.full((n,), -1.0, u.dtype), lam, b, inv_mass,
         num_steps, interpret=interpret, block_chains=block_chains)
     return uo, po, h0, h1
+
+
+# --------------------------------------------------------------------------
+# Whole-warmup kernel: pooled dual averaging + windowed Welford mass, all
+# iterations in ONE launch (round 4)
+# --------------------------------------------------------------------------
+
+# scratch rows for the warmup state (VMEM (16, LANE) f32)
+_R_LOGEPS, _R_LOGEPSBAR, _R_HBAR, _R_MU, _R_TDA = 0, 1, 2, 3, 4
+_R_NW, _R_MEAN, _R_M2, _R_IM = 5, 6, 7, 8
+
+
+def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
+                   u0_ref, aux_ref, par_ref, out_ref, u_scr, st_scr):
+    """Grid = (num_warmup,): Stan-style pooled warmup with the chain block
+    AND the adaptation state (dual averaging scalars, Chan-Welford
+    mean/m2, inverse mass) resident in VMEM scratch. ``boundaries`` is a
+    static tuple of (iteration_index, adapt_mass_during_prev_window)
+    window ends; mass/DA resets fire via pl.when on the grid index —
+    exactly run_warmup_pooled's schedule semantics (inference/
+    adaptation.py), with pre-drawn randoms instead of fold_in streams."""
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    dt = st_scr.dtype
+    c_live = jnp.asarray(float(n_live), dt)
+
+    def srow(r):
+        return st_scr[r, 0]           # scalar read
+
+    def wrow(r, val):
+        st_scr[r: r + 1, :] = jnp.full((1, _LANE), val, dt)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    def wvec(r, scalars):
+        # pack d scalars into row r (col j = scalars[j])
+        acc = jnp.zeros((1, _LANE), dt)
+        for j, s in enumerate(scalars):
+            acc = acc + jnp.where(lane == j, s, 0.0)
+        st_scr[r: r + 1, :] = acc
+
+    @pl.when(t == 0)
+    def _():
+        u_scr[...] = u0_ref[...]
+        wrow(_R_LOGEPS, jnp.log(eps0))
+        wrow(_R_LOGEPSBAR, jnp.log(eps0))
+        wrow(_R_HBAR, 0.0)
+        wrow(_R_MU, jnp.log(10.0 * eps0))
+        wrow(_R_TDA, 0.0)
+        wrow(_R_NW, 0.0)
+        wrow(_R_MEAN, 0.0)
+        wrow(_R_M2, 0.0)
+        wrow(_R_IM, 1.0)
+
+    # ---- window-end updates (static boundary indices; fire BEFORE the
+    # iteration, i.e. right after the window's last transition) ----------
+    for (bidx, was_slow) in boundaries:
+        @pl.when(t == bidx)
+        def _(was_slow=was_slow):
+            if was_slow:
+                n_w = srow(_R_NW)
+                shrink = n_w / (n_w + 5.0)
+                var_scalars = []
+                for j in range(d):
+                    m2_j = st_scr[_R_M2, j]
+                    var_j = m2_j / jnp.maximum(n_w - 1.0, 1.0)
+                    var_j = shrink * var_j + (1.0 - shrink) * 1e-3
+                    var_j = jnp.clip(var_j, 1e-8, 1e8)
+                    var_scalars.append(1.0 / var_j)
+                wvec(_R_IM, var_scalars)
+                # dual averaging restarts around the adapted step size
+                leb = srow(_R_LOGEPSBAR)
+                wrow(_R_LOGEPS, leb)
+                wrow(_R_MU, jnp.log(10.0) + leb)
+                wrow(_R_HBAR, 0.0)
+                wrow(_R_TDA, 0.0)
+                wrow(_R_NW, 0.0)
+                wrow(_R_MEAN, 0.0)
+                wrow(_R_M2, 0.0)
+
+    in_slow = jnp.zeros((), jnp.bool_)
+    prev = 0
+    for (bidx, was_slow) in boundaries:
+        in_slow = in_slow | ((t >= prev) & (t < bidx) & was_slow)
+        prev = bidx
+
+    aux = aux_ref[0]                  # rows: 0..d-1 STANDARD normals,
+    # momenta scaled by the EVOLVING mass: p_j = z_j / sqrt(im_j)
+    p = jnp.concatenate(              # row d jitter, row d+1 accept unif
+        [aux[j: j + 1, :] * jax.lax.rsqrt(st_scr[_R_IM, j])
+         for j in range(d)]
+        + [jnp.zeros((_SUB - d, aux.shape[-1]), aux.dtype)], axis=0)
+    eps = jnp.exp(srow(_R_LOGEPS)) * aux[d: d + 1, :]
+    u01 = aux[d + 1: d + 2, :]
+
+    u_out, _, _, aprob, _, _, _ = _transition_core(
+        num_steps, d, u_scr[...], p, eps, u01, par_ref,
+        im_fn=lambda j: st_scr[_R_IM, j])
+    u_scr[...] = u_out
+
+    # pooled accept statistic over LIVE chains (pads masked)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 1)
+            < n_live).astype(dt)
+    a_mean = jnp.sum(aprob * mask) / c_live
+
+    # dual averaging (inference/hmc.py:da_update constants)
+    t_da = srow(_R_TDA) + 1.0
+    eta_h = 1.0 / (t_da + 10.0)
+    h_bar = (1.0 - eta_h) * srow(_R_HBAR) + eta_h * (target - a_mean)
+    log_eps = srow(_R_MU) - jnp.sqrt(t_da) / 0.05 * h_bar
+    eta = jnp.exp(-0.75 * jnp.log(t_da))
+    log_eps_bar = eta * log_eps + (1.0 - eta) * srow(_R_LOGEPSBAR)
+    wrow(_R_TDA, t_da)
+    wrow(_R_HBAR, h_bar)
+    wrow(_R_LOGEPS, log_eps)
+    wrow(_R_LOGEPSBAR, log_eps_bar)
+
+    # Chan-Welford pooled mass update during slow windows
+    @pl.when(in_slow)
+    def _():
+        n_w = srow(_R_NW)
+        n_new = n_w + c_live
+        mean_s, m2_s = [], []
+        for j in range(d):
+            uj = u_out[j: j + 1, :] * mask
+            b_mean = jnp.sum(uj) / c_live
+            b_m2 = jnp.sum(((u_out[j: j + 1, :] - b_mean) * mask) ** 2)
+            mean_j = st_scr[_R_MEAN, j]
+            delta = b_mean - mean_j
+            mean_s.append(mean_j + delta * c_live / n_new)
+            m2_s.append(st_scr[_R_M2, j] + b_m2
+                        + delta * delta * n_w * c_live / n_new)
+        wvec(_R_MEAN, mean_s)
+        wvec(_R_M2, m2_s)
+        wrow(_R_NW, n_new)
+
+    @pl.when(t == nT - 1)
+    def _():
+        # pack final (u, eps_bar, inv_mass) into the single output block
+        # (concatenate, not .at[].set — Mosaic has no scatter)
+        bc2 = u_out.shape[-1]
+        eps_row = jnp.full((1, bc2), jnp.exp(srow(_R_LOGEPSBAR)), dt)
+        im_rows = [jnp.full((1, bc2), st_scr[_R_IM, j], dt)
+                   for j in range(d)]
+        out_ref[...] = jnp.concatenate(
+            [u_out[:d], jnp.zeros((_SUB - 1 - d, bc2), dt), eps_row]
+            + im_rows + [jnp.zeros((_SUB - d, bc2), dt)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_warmup", "num_steps", "eps0", "target_accept", "interpret"))
+def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
+                           target_accept=0.8, interpret=False):
+    """The ENTIRE pooled warmup (Stan windowed schedule) in ONE
+    pallas_call. Returns (us (N, d), eps (scalar), inv_mass (d,)).
+
+    Semantics follow inference/adaptation.run_warmup_pooled (same DA
+    constants, same window schedule from warmup_schedule, same Chan-
+    Welford pooling and shrinkage) with pre-drawn per-iteration randoms;
+    it is a separate RNG stream from the generic path, not a bitwise
+    replica of it."""
+    from modppl_tpu.inference.adaptation import warmup_schedule
+
+    n, d = u0s.shape
+    dt = u0s.dtype
+    assert d + 2 <= _SUB
+    npad = -(-n // _LANE) * _LANE
+    T = int(num_warmup)
+
+    fast1, slow, fast2 = warmup_schedule(T)
+    boundaries = []
+    idx = fast1
+    if fast1 > 0:
+        boundaries.append((idx, False))
+    for w in slow:
+        idx += w
+        boundaries.append((idx, True))
+    # (the final fast2 window needs no end-update; eps_bar is read off)
+
+    k_mom, k_jit, k_acc = jax.random.split(key, 3)
+    # STANDARD normals — the kernel scales by the evolving 1/sqrt(im)
+    mom = jax.random.normal(k_mom, (T, d, n), dt)
+    jit = jax.random.uniform(k_jit, (T, 1, n), dt, minval=0.5, maxval=1.5)
+    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    aux = jnp.concatenate(
+        [mom, jit, u01, jnp.zeros((T, _SUB - d - 2, n), dt)], axis=1)
+    aux = _pad_lanes(aux, npad)
+    aux = aux.at[:, d + 1, n:].set(2.0)
+    u8 = _pad_lanes(jnp.zeros((_SUB, n), dt).at[:d].set(u0s.T), npad)
+    par = jnp.zeros((_SUB, _LANE), dt)
+    par = par.at[:d, :d].set(lam.astype(dt))
+    par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
+
+    out = pl.pallas_call(
+        functools.partial(_warmup_kernel, num_steps, d, n,
+                          float(eps0), float(target_accept),
+                          tuple(boundaries)),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((_SUB, npad), lambda t: (0, 0)),
+                  pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((2 * _SUB, npad), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2 * _SUB, npad), dt),
+        scratch_shapes=[pltpu.VMEM((_SUB, npad), dt),
+                        pltpu.VMEM((16, _LANE), dt)],
+        interpret=interpret,
+    )(u8, aux, par)
+    us = out[:d, :n].T
+    eps = out[_SUB - 1, 0]
+    inv_mass = jnp.stack([out[_SUB + j, 0] for j in range(d)])
+    return us, eps, inv_mass

@@ -233,3 +233,71 @@ def test_fused_quadratic_rejects_axis_name():
     with pytest.raises(ValueError, match="axis_name"):
         hmc_runner(model, (), Trie(), num_chains=4,
                    use_fused_quadratic=True, axis_name="dp")
+
+
+def test_sample_chunk_matches_single_transitions():
+    """hmc_sample_chunk_small replays the SAME randoms through the
+    single-transition kernel: trajectories and logps bitwise-equal
+    (accept probs may drift 1 ulp across the two programs)."""
+    from modppl_tpu.ops.leapfrog_vpu_pallas import (
+        hmc_sample_chunk_small,
+        hmc_transition_small,
+    )
+
+    d, n, T, L = 3, 256, 5, 4
+    key = jax.random.PRNGKey(0)
+    lam, b, _ = _target(d)
+    im = jnp.linspace(0.5, 1.5, d)
+    u0 = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+    eps0 = jnp.asarray(0.05, u0.dtype)
+    us, logps, aprobs, divs, uf = hmc_sample_chunk_small(
+        jax.random.fold_in(key, 2), u0, eps0, lam, b, im,
+        T, L, interpret=True)
+
+    k_mom, k_jit, k_acc = jax.random.split(jax.random.fold_in(key, 2), 3)
+    mom = jax.random.normal(k_mom, (T, d, n)) / jnp.sqrt(im)[None, :, None]
+    epsj = eps0 * jax.random.uniform(k_jit, (T, 1, n),
+                                     minval=0.5, maxval=1.5)
+    u01 = jax.random.uniform(k_acc, (T, 1, n))
+    u = u0
+    for t in range(T):
+        (u, _), logp, ap, dv, _, _ = hmc_transition_small(
+            u, mom[t].T, epsj[t, 0], u01[t, 0], lam, b, im, L,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(us[t]), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(logps[t]),
+                                      np.asarray(logp))
+        np.testing.assert_allclose(np.asarray(aprobs[t]), np.asarray(ap),
+                                   atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(uf), np.asarray(u))
+
+
+def test_warmup_chunk_adapts_mass_and_step():
+    """hmc_warmup_chunk_small (whole pooled warmup in one launch): the
+    adapted inverse mass approaches the target's marginal precisions and
+    the subsequent sampling chunk recovers the exact moments."""
+    from modppl_tpu.ops.leapfrog_vpu_pallas import (
+        hmc_sample_chunk_small,
+        hmc_warmup_chunk_small,
+    )
+
+    cov = jnp.array([[1.0, 0.5, 0.2], [0.5, 2.0, 0.3], [0.2, 0.3, 0.5]])
+    lam = jnp.linalg.inv(cov)
+    mean = jnp.array([1.0, -0.5, 2.0])
+    b = lam @ mean
+    n = 512
+    u0 = jax.random.normal(jax.random.PRNGKey(0), (n, 3))
+    us, eps, im = hmc_warmup_chunk_small(
+        jax.random.PRNGKey(1), u0, 0.1, lam, b, 200, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(im), 1.0 / np.diag(cov),
+                               rtol=0.25)
+    assert 0.05 < float(eps) < 5.0
+
+    S, logps, aprobs, divs, _ = hmc_sample_chunk_small(
+        jax.random.PRNGKey(2), us, eps, lam, b, im, 300, 8,
+        interpret=True)
+    samp = np.asarray(S).reshape(-1, 3)
+    np.testing.assert_allclose(samp.mean(0), np.asarray(mean), atol=0.05)
+    np.testing.assert_allclose(samp.var(0), np.diag(cov), rtol=0.1)
+    assert 0.6 < float(np.asarray(aprobs).mean()) <= 1.0
+    assert not bool(np.asarray(divs).any())
