@@ -211,9 +211,6 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
     leapfrog+logprob kernel (ops/leapfrog_pallas.py) over the whole chain
     batch — zero HBM round-trips inside a trajectory. Output contract
     matches _pooled_chains."""
-    from modppl_tpu.inference.adaptation import run_warmup_pooled
-    from modppl_tpu.ops.leapfrog_pallas import hmc_transition_quadratic
-
     if u0s.shape[1] <= 6:
         # round 4: BOTH phases as single kernel launches — the pooled
         # windowed warmup (dual averaging + Chan-Welford mass in VMEM
@@ -237,33 +234,24 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
         sw = lambda x: jnp.swapaxes(x, 0, 1)
         return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps
 
-    inv_mass0 = jnp.ones(u0s.shape[1:], u0s.dtype)
+    # round 4: BOTH phases as single launches at d >= 7 too — the MXU
+    # warmup chunk keeps all chains in one block (warmup emits no per-
+    # iteration outputs, so it fits scoped VMEM), the sampling chunk tiles
+    # chains over an outer grid axis. Eliminates the ~0.2-0.35 ms of
+    # per-transition launch + glue cost of the scanned paths.
+    from modppl_tpu.ops.leapfrog_pallas import (
+        hmc_sample_chunk,
+        hmc_warmup_chunk,
+    )
 
-    def batched(k, us, eps, inv_mass):
-        n = us.shape[0]
-        k_jit, k_tr = jax.random.split(k)
-        e = eps * jax.random.uniform(k_jit, (n,), us.dtype,
-                                     minval=0.5, maxval=1.5)
-        u, logp, aprob, div = hmc_transition_quadratic(
-            k_tr, us, e, lam, b, inv_mass, num_leapfrog, interpret=interpret)
-        return u, (logp, aprob, div)
-
-    def warm_transition(k, us, eps, inv_mass):
-        us, (_, aprobs, _) = batched(k, us, eps, inv_mass)
-        return us, aprobs
-
-    us, eps, inv_mass = run_warmup_pooled(
-        jax.random.fold_in(key, 0), u0s, warm_transition, num_warmup, eps0,
-        target_accept, batched_transition=True)
-
-    def sample_body(us_c, k):
-        us_c, ys = batched(k, us_c, eps, inv_mass)
-        return us_c, (us_c,) + ys
-
-    keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
-    _, (us, logps, aprobs, divs) = jax.lax.scan(sample_body, us, keys_s)
+    us, eps, inv_mass = hmc_warmup_chunk(
+        jax.random.fold_in(key, 0), u0s, float(eps0), lam, b, num_warmup,
+        num_leapfrog, target_accept=target_accept, interpret=interpret)
+    us_t, logps, aprobs, divs = hmc_sample_chunk(
+        jax.random.fold_in(key, 2), us, eps, lam, b, inv_mass,
+        num_samples, num_leapfrog, interpret=interpret)
     sw = lambda x: jnp.swapaxes(x, 0, 1)
-    return sw(us), sw(logps), sw(aprobs), sw(divs), eps
+    return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps
 
 
 # --------------------------------------------------------------------------

@@ -30,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _BC = 128  # chains per grid block
@@ -187,6 +188,333 @@ def hmc_transition_quadratic(key, u, eps, lam, b, inv_mass, num_leapfrog,
     u_out = jnp.where(accept[:, None], u1, u)
     logp_out = jnp.where(accept, logp1, logp0)
     return u_out, logp_out, accept_prob, divergent
+
+
+def _chunk_kernel_mxu(num_steps, u0_ref, mom_ref, ju_ref, lam_ref, b_ref,
+                      im_ref, out_ref, st_ref, u_scr):
+    """Grid = (chain_blocks, num_samples): transitions iterate INNERMOST,
+    so each chain block's (BC, D) positions persist in VMEM scratch across
+    its whole sampling phase (re-initialized from u0 at t == 0);
+    per-transition randoms stream per grid step (the MXU counterpart of
+    leapfrog_vpu_pallas._chunk_kernel, blocked over chains to respect the
+    16 MB scoped-VMEM limit at 4096+ chains)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        u_scr[...] = u0_ref[...]
+
+    lam = lam_ref[...]
+    bv = b_ref[...]                  # (1, D)
+    im = im_ref[...]                 # (1, D)
+    u0 = u_scr[...]                  # (BC, D)
+    p = mom_ref[0]                   # (BC, D) pre-scaled momenta
+    eps = ju_ref[0, 0:1, :].T        # (BC, 1) jittered step sizes
+    u01 = ju_ref[0, 1:2, :].T        # (BC, 1) accept uniforms
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def grad(u):
+        # HIGHEST is load-bearing (see _kernel)
+        return bv - jnp.dot(u, lam, preferred_element_type=u.dtype,
+                            precision=hi)
+
+    def logp_of(u):
+        return (-0.5 * jnp.sum(
+            u * jnp.dot(u, lam, precision=hi), axis=-1, keepdims=True)
+            + jnp.sum(u * bv, axis=-1, keepdims=True))
+
+    def kin_of(p):
+        return 0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True)
+
+    logp0 = logp_of(u0)
+    h0 = -logp0 + kin_of(p)
+
+    def body(_, carry):
+        u, p, g = carry
+        p = p + 0.5 * eps * g
+        u = u + eps * im * p
+        g = grad(u)
+        p = p + 0.5 * eps * g
+        return (u, p, g)
+
+    u, p, _ = jax.lax.fori_loop(0, num_steps, body, (u0, p, grad(u0)))
+
+    logp1 = logp_of(u)
+    h1 = -logp1 + kin_of(p)
+    delta_h = h0 - h1
+    divergent = jnp.logical_not(jnp.isfinite(delta_h)) | (delta_h < -1000.0)
+    aprob = jnp.where(divergent, 0.0,
+                      jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
+    accept = u01 < aprob
+    u_out = jnp.where(accept, u, u0)
+    u_scr[...] = u_out
+    out_ref[0] = u_out
+    st_ref[0] = jnp.concatenate(
+        [jnp.where(accept, logp1, logp0), aprob,
+         divergent.astype(u0.dtype),
+         jnp.zeros((u0.shape[0], 5), u0.dtype)], axis=1).T
+
+
+# warmup-state scratch rows (VMEM (8, LANE) f32)
+_R_LOGEPS, _R_LOGEPSBAR, _R_HBAR, _R_MU, _R_TDA, _R_NW = 0, 1, 2, 3, 4, 5
+
+
+def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
+                       u0_ref, mom_ref, ju_ref, lam_ref, b_ref, out_ref,
+                       u_scr, st_scr, mean_scr, m2_scr, im_scr):
+    """Grid = (num_warmup,): the whole pooled windowed warmup in one
+    launch at d >= 128 — the (BC, D) chain block, dual-averaging scalars,
+    Chan-Welford (1, D) moments and the (1, D) inverse mass all live in
+    VMEM scratch (the MXU counterpart of leapfrog_vpu_pallas.
+    _warmup_kernel; per-coordinate chain reductions are single
+    row-axis sums here, no lane packing needed)."""
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+    dt = st_scr.dtype
+    c_live = jnp.asarray(float(n_live), dt)
+    hi = jax.lax.Precision.HIGHEST
+
+    def srow(r):
+        return st_scr[r, 0]
+
+    def wrow(r, val):
+        st_scr[r: r + 1, :] = jnp.full((1, _LANE), val, dt)
+
+    @pl.when(t == 0)
+    def _():
+        u_scr[...] = u0_ref[...]
+        wrow(_R_LOGEPS, jnp.log(eps0))
+        wrow(_R_LOGEPSBAR, jnp.log(eps0))
+        wrow(_R_HBAR, 0.0)
+        wrow(_R_MU, jnp.log(10.0 * eps0))
+        wrow(_R_TDA, 0.0)
+        wrow(_R_NW, 0.0)
+        mean_scr[...] = jnp.zeros_like(mean_scr)
+        m2_scr[...] = jnp.zeros_like(m2_scr)
+        im_scr[...] = jnp.ones_like(im_scr)
+
+    for (bidx, was_slow) in boundaries:
+        @pl.when(t == bidx)
+        def _(was_slow=was_slow):
+            if was_slow:
+                n_w = srow(_R_NW)
+                shrink = n_w / (n_w + 5.0)
+                var = m2_scr[...] / jnp.maximum(n_w - 1.0, 1.0)
+                var = shrink * var + (1.0 - shrink) * 1e-3
+                im_scr[...] = 1.0 / jnp.clip(var, 1e-8, 1e8)
+                leb = srow(_R_LOGEPSBAR)
+                wrow(_R_LOGEPS, leb)
+                wrow(_R_MU, jnp.log(10.0) + leb)
+                wrow(_R_HBAR, 0.0)
+                wrow(_R_TDA, 0.0)
+                wrow(_R_NW, 0.0)
+                mean_scr[...] = jnp.zeros_like(mean_scr)
+                m2_scr[...] = jnp.zeros_like(m2_scr)
+
+    in_slow = jnp.zeros((), jnp.bool_)
+    prev = 0
+    for (bidx, was_slow) in boundaries:
+        in_slow = in_slow | ((t >= prev) & (t < bidx) & was_slow)
+        prev = bidx
+
+    lam = lam_ref[...]
+    bv = b_ref[...]
+    im = im_scr[...]                 # (1, D)
+    u0 = u_scr[...]                  # (BC, D)
+    z = mom_ref[0]                   # standard normals
+    p = z * jax.lax.rsqrt(im)
+    eps = jnp.exp(srow(_R_LOGEPS)) * ju_ref[0, 0:1, :].T   # (BC, 1)
+    u01 = ju_ref[0, 1:2, :].T
+
+    def grad(u):
+        return bv - jnp.dot(u, lam, preferred_element_type=u.dtype,
+                            precision=hi)
+
+    def logp_of(u):
+        return (-0.5 * jnp.sum(
+            u * jnp.dot(u, lam, precision=hi), axis=-1, keepdims=True)
+            + jnp.sum(u * bv, axis=-1, keepdims=True))
+
+    def kin_of(p):
+        return 0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True)
+
+    h0 = -logp_of(u0) + kin_of(p)
+
+    def body(_, carry):
+        u, p, g = carry
+        p = p + 0.5 * eps * g
+        u = u + eps * im * p
+        g = grad(u)
+        p = p + 0.5 * eps * g
+        return (u, p, g)
+
+    u, p, _ = jax.lax.fori_loop(0, num_steps, body, (u0, p, grad(u0)))
+    delta_h = h0 - (-logp_of(u) + kin_of(p))
+    divergent = jnp.logical_not(jnp.isfinite(delta_h)) | (delta_h < -1000.0)
+    aprob = jnp.where(divergent, 0.0,
+                      jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
+    accept = u01 < aprob
+    u_out = jnp.where(accept, u, u0)
+    u_scr[...] = u_out
+
+    mask = (jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 0)
+            < n_live).astype(dt)
+    a_mean = jnp.sum(aprob * mask) / c_live
+
+    t_da = srow(_R_TDA) + 1.0
+    eta_h = 1.0 / (t_da + 10.0)
+    h_bar = (1.0 - eta_h) * srow(_R_HBAR) + eta_h * (target - a_mean)
+    log_eps = srow(_R_MU) - jnp.sqrt(t_da) / 0.05 * h_bar
+    eta = jnp.exp(-0.75 * jnp.log(t_da))
+    log_eps_bar = eta * log_eps + (1.0 - eta) * srow(_R_LOGEPSBAR)
+    wrow(_R_TDA, t_da)
+    wrow(_R_HBAR, h_bar)
+    wrow(_R_LOGEPS, log_eps)
+    wrow(_R_LOGEPSBAR, log_eps_bar)
+
+    @pl.when(in_slow)
+    def _():
+        n_w = srow(_R_NW)
+        n_new = n_w + c_live
+        um = u_out * mask                       # pads zeroed
+        b_mean = jnp.sum(um, axis=0, keepdims=True) / c_live
+        b_m2 = jnp.sum(((u_out - b_mean) * mask) ** 2, axis=0,
+                       keepdims=True)
+        mean = mean_scr[...]
+        delta = b_mean - mean
+        mean_scr[...] = mean + delta * c_live / n_new
+        m2_scr[...] = m2_scr[...] + b_m2 + delta * delta * n_w * c_live \
+            / n_new
+        wrow(_R_NW, n_new)
+
+    @pl.when(t == nT - 1)
+    def _():
+        dcols = u_out.shape[-1]
+        eps_row = jnp.full((1, dcols), jnp.exp(srow(_R_LOGEPSBAR)), dt)
+        out_ref[...] = jnp.concatenate(
+            [u_out, im_scr[...], eps_row,
+             jnp.zeros((6, dcols), dt)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_warmup", "num_steps", "eps0", "target_accept", "interpret"))
+def hmc_warmup_chunk(key, u0s, eps0, lam, b, num_warmup, num_steps,
+                     target_accept=0.8, interpret=False):
+    """The ENTIRE pooled warmup in ONE pallas_call at d >= 128 (all chains
+    in one block — warmup writes no per-iteration outputs, so the block
+    fits scoped VMEM where the sampler must tile chains). Returns
+    (us (N, d), eps scalar, inv_mass (d,)). Same schedule/constants as
+    adaptation.run_warmup_pooled; separate pre-drawn RNG stream."""
+    from modppl_tpu.inference.adaptation import warmup_schedule
+
+    n, d = u0s.shape
+    dt = u0s.dtype
+    dp = -(-d // _LANE) * _LANE
+    npad = -(-n // 8) * 8
+    T = int(num_warmup)
+
+    fast1, slow, fast2 = warmup_schedule(T)
+    boundaries = []
+    idx = fast1
+    if fast1 > 0:
+        boundaries.append((idx, False))
+    for w in slow:
+        idx += w
+        boundaries.append((idx, True))
+
+    k_mom, k_jit, k_acc = jax.random.split(key, 3)
+    mom = jax.random.normal(k_mom, (T, n, d), dt)
+    epsj = jax.random.uniform(k_jit, (T, 1, n), dt, minval=0.5, maxval=1.5)
+    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    ju = jnp.concatenate([epsj, u01, jnp.zeros((T, 6, n), dt)], axis=1)
+    ju = jnp.pad(ju, ((0, 0), (0, 0), (0, npad - n)))
+    ju = ju.at[:, 1, n:].set(2.0)
+    mom = jnp.pad(mom, ((0, 0), (0, npad - n), (0, dp - d)))
+    u_p = _pad_to(_pad_to(u0s, npad, 0), dp, 1)
+    lam_p = _pad_to(_pad_to(lam.astype(dt), dp, 0), dp, 1)
+    b_p = _pad_to(b.astype(dt)[None, :], dp, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_warmup_kernel_mxu, num_steps, n, float(eps0),
+                          float(target_accept), tuple(boundaries)),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((npad, dp), lambda t: (0, 0)),
+                  pl.BlockSpec((1, npad, dp), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((1, 8, npad), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((dp, dp), lambda t: (0, 0)),
+                  pl.BlockSpec((1, dp), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((npad + 8, dp), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad + 8, dp), dt),
+        scratch_shapes=[pltpu.VMEM((npad, dp), dt),
+                        pltpu.VMEM((8, _LANE), dt),
+                        pltpu.VMEM((1, dp), dt),
+                        pltpu.VMEM((1, dp), dt),
+                        pltpu.VMEM((1, dp), dt)],
+        # all chains live in one block (~2 MB each for u0/scratch/out plus
+        # double-buffered streams) — past the default 16 MB scoped-VMEM
+        # budget at 4096 chains, comfortably inside the chip's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u_p, mom, ju, lam_p, b_p)
+    us = out[:n, :d]
+    inv_mass = out[npad, :d]
+    eps = out[npad + 1, 0]
+    return us, eps, inv_mass
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_samples", "num_steps", "interpret"))
+def hmc_sample_chunk(key, u, eps, lam, b, inv_mass, num_samples, num_steps,
+                     interpret=False):
+    """All ``num_samples`` MXU-tiled HMC transitions in ONE pallas_call
+    (d >= 128 quadratic targets; the VPU counterpart is
+    leapfrog_vpu_pallas.hmc_sample_chunk_small). Returns
+    (us (T, N, d), logps (T, N), aprobs (T, N), divs (T, N))."""
+    n, d = u.shape
+    dt = u.dtype
+    dp = -(-d // _LANE) * _LANE
+    bc = min(1024, -(-n // 8) * 8)
+    npad = -(-n // bc) * bc
+    T = num_samples
+
+    k_mom, k_jit, k_acc = jax.random.split(key, 3)
+    mom = jax.random.normal(k_mom, (T, n, d), dt) \
+        / jnp.sqrt(inv_mass.astype(dt))[None, None, :]
+    epsj = eps * jax.random.uniform(k_jit, (T, 1, n), dt,
+                                    minval=0.5, maxval=1.5)
+    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    # pads: never accept, zero momenta -> padded chains stay at u0 pad (0)
+    ju = jnp.concatenate(
+        [epsj, u01, jnp.zeros((T, 6, n), dt)], axis=1)
+    ju = jnp.pad(ju, ((0, 0), (0, 0), (0, npad - n)),
+                 constant_values=0.0)
+    ju = ju.at[:, 1, n:].set(2.0)
+    mom = jnp.pad(mom, ((0, 0), (0, npad - n), (0, dp - d)))
+    u_p = _pad_to(_pad_to(u, npad, 0), dp, 1)
+    lam_p = _pad_to(_pad_to(lam.astype(dt), dp, 0), dp, 1)
+    b_p = _pad_to(b.astype(dt)[None, :], dp, 1)
+    im_p = _pad_to(inv_mass.astype(dt)[None, :], dp, 1)
+
+    us, st = pl.pallas_call(
+        functools.partial(_chunk_kernel_mxu, num_steps),
+        grid=(npad // bc, T),
+        in_specs=[pl.BlockSpec((bc, dp), lambda c, t: (c, 0)),
+                  pl.BlockSpec((1, bc, dp), lambda c, t: (t, c, 0)),
+                  pl.BlockSpec((1, 8, bc), lambda c, t: (t, 0, c)),
+                  pl.BlockSpec((dp, dp), lambda c, t: (0, 0)),
+                  pl.BlockSpec((1, dp), lambda c, t: (0, 0)),
+                  pl.BlockSpec((1, dp), lambda c, t: (0, 0))],
+        out_specs=[pl.BlockSpec((1, bc, dp), lambda c, t: (t, c, 0)),
+                   pl.BlockSpec((1, 8, bc), lambda c, t: (t, 0, c))],
+        out_shape=[jax.ShapeDtypeStruct((T, npad, dp), dt),
+                   jax.ShapeDtypeStruct((T, 8, npad), dt)],
+        scratch_shapes=[pltpu.VMEM((bc, dp), dt)],
+        interpret=interpret,
+    )(u_p, mom, ju, lam_p, b_p, im_p)
+    return (us[:, :n, :d], st[:, 0, :n], st[:, 1, :n],
+            st[:, 2, :n] > 0.5)
 
 
 @functools.partial(jax.jit, static_argnames=(
