@@ -211,6 +211,10 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
     leapfrog+logprob kernel (ops/leapfrog_pallas.py) over the whole chain
     batch — zero HBM round-trips inside a trajectory. Output contract
     matches _pooled_chains."""
+    if num_warmup < 1:
+        raise ValueError("the fused quadratic path needs num_warmup >= 1 "
+                         "(a zero-length warmup kernel grid cannot "
+                         "launch); pass use_fused_quadratic=False")
     if u0s.shape[1] <= 6:
         # round 4: BOTH phases as single kernel launches — the pooled
         # windowed warmup (dual averaging + Chan-Welford mass in VMEM
@@ -468,13 +472,15 @@ def hmc(key, model, args, observed, **config):
     (parallel/distributed.shardmap_hmc); the fixed add-tree reduction order
     makes the adapted (eps, inv_mass) bitwise-equal across shardings.
 
-    ``use_fused_quadratic`` (default: auto-detect on TPU at dim >=
-    FUSED_QUADRATIC_MIN_DIM) routes targets whose unconstrained log-density
-    is quadratic — the all-Gaussian conjugate / linear-Gaussian zoo —
-    through the fused Pallas leapfrog+logprob kernel
-    (ops/leapfrog_pallas.py): the whole chain block stays VMEM-resident
-    across every leapfrog step. Non-quadratic targets fall back to the
-    generic path transparently.
+    ``use_fused_quadratic`` (default: auto-detect on TPU at dim <=
+    FUSED_QUADRATIC_MAX_DIM_VPU or dim >= FUSED_QUADRATIC_MIN_DIM) routes
+    targets whose unconstrained log-density is quadratic — the
+    all-Gaussian conjugate / linear-Gaussian zoo — through the fused
+    Pallas kernels: the ENTIRE pooled warmup and the ENTIRE sampling
+    phase each run as one launch (adaptation state in VMEM scratch;
+    ops/leapfrog_vpu_pallas.py at small d, ops/leapfrog_pallas.py above),
+    4.5x the generic path's ESS/s at 10^4 chains, d=3 on a v5e.
+    Non-quadratic targets fall back to the generic path transparently.
 
     For repeated invocations build the sampler once with
     :func:`hmc_runner` and call it with fresh keys — each ``hmc()`` call
