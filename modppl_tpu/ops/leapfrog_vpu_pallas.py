@@ -183,6 +183,87 @@ def hmc_transition_small(u, p, eps, u01, lam, b, inv_mass, num_steps,
             st[_ROW_H0, :n], st[_ROW_H1, :n])
 
 
+def _transition_core_packed(num_steps, d, u0, p, eps, u01, par_ref,
+                            im_fn=None):
+    """_transition_core in the PACKED layout: chains fill all 8 sublanes —
+    coordinate j occupies rows [8j, 8j+8) of an (8d, W) block (W = N/8),
+    so every VPU op runs at full tile utilization instead of 1/8 on
+    (1, N) rows. Per-chain math is identical; eps/u01 and all returned
+    per-chain quantities are (8, W) tiles."""
+
+    def lam(j, k):
+        return par_ref[j, k]
+
+    def bvec(j):
+        return par_ref[j, MAX_DIM_VPU]
+
+    im = im_fn if im_fn is not None else (
+        lambda j: par_ref[j, MAX_DIM_VPU + 1])
+
+    def row(x, j):
+        return x[8 * j: 8 * (j + 1), :]   # (8, W) coordinate slab
+
+    def grad_rows(u):
+        return [bvec(j) - sum(lam(j, k) * row(u, k) for k in range(d))
+                for j in range(d)]
+
+    def stack_rows(rows):
+        return jnp.concatenate(rows, axis=0)
+
+    def logp_of(u):
+        quad = sum(lam(j, k) * row(u, j) * row(u, k)
+                   for j in range(d) for k in range(d))
+        lin = sum(bvec(j) * row(u, j) for j in range(d))
+        return lin - 0.5 * quad
+
+    def kin_of(p):
+        return 0.5 * sum(im(j) * row(p, j) * row(p, j) for j in range(d))
+
+    logp0 = logp_of(u0)
+    h0 = -logp0 + kin_of(p)
+
+    # eps is an (8, W) per-chain tile; full-block ops need it repeated
+    # over the d coordinate slabs
+    eps_full = jnp.concatenate([eps] * d, axis=0)
+
+    u = u0
+    g = stack_rows(grad_rows(u))
+    for _ in range(num_steps):
+        p = p + 0.5 * eps_full * g
+        u_rows = [row(u, j) + eps * im(j) * row(p, j) for j in range(d)]
+        u = stack_rows(u_rows)
+        g = stack_rows(grad_rows(u))
+        p = p + 0.5 * eps_full * g
+
+    logp1 = logp_of(u)
+    h1 = -logp1 + kin_of(p)
+    delta_h = h0 - h1
+    divergent = jnp.logical_not(jnp.isfinite(delta_h)) | (delta_h < -1000.0)
+    aprob = jnp.where(divergent, 0.0,
+                      jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
+    accept_tile = u01 < aprob                        # (8, W)
+    accept = jnp.concatenate([accept_tile] * d, axis=0)
+    u_out = jnp.where(accept, u, u0)
+    logp_out = jnp.where(accept_tile, logp1, logp0)
+    return u_out, p, logp_out, aprob, divergent, h0, h1
+
+
+def _pack_chains(x_nd, npad):
+    """(n, d) chain-major -> (8d, npad//8): coordinate j's chains fill all
+    8 sublanes of rows [8j, 8j+8) (chain c at sublane c // (npad//8),
+    lane c % (npad//8))."""
+    n, d = x_nd.shape
+    w = npad // 8
+    x = _pad_lanes(x_nd.T, npad)                     # (d, npad)
+    return x.reshape(d * 8, w)
+
+
+def _unpack_chains(x_packed, n, d):
+    """(8d, W) -> (n, d)."""
+    w = x_packed.shape[-1]
+    return x_packed.reshape(d, 8 * w).T[:n]
+
+
 def _chunk_kernel(num_steps, d, u0_ref, aux_ref, par_ref, out_ref, u_scr):
     """Grid = (num_samples,): one transition per grid step, the chain
     block carried in VMEM scratch across steps — the whole sampling phase
@@ -194,19 +275,15 @@ def _chunk_kernel(num_steps, d, u0_ref, aux_ref, par_ref, out_ref, u_scr):
     def _():
         u_scr[...] = u0_ref[...]
 
-    aux = aux_ref[0]                  # (8, BC): rows 0..d-1 momenta,
-    p = jnp.concatenate(              # row d eps, row d+1 accept uniform
-        [aux[:d], jnp.zeros((_SUB - d, aux.shape[-1]), aux.dtype)], axis=0)
-    eps = aux[d: d + 1, :]
-    u01 = aux[d + 1: d + 2, :]
-    u_out, _, logp_out, aprob, divergent, _, _ = _transition_core(
+    aux = aux_ref[0]                  # (8(d+2), W), packed layout:
+    p = aux[: 8 * d]                  # rows [0,8d) momenta (pre-scaled),
+    eps = aux[8 * d: 8 * d + 8]       # [8d,8d+8) jittered step sizes,
+    u01 = aux[8 * d + 8: 8 * d + 16]  # [8d+8,8d+16) accept uniforms
+    u_out, _, logp_out, aprob, divergent, _, _ = _transition_core_packed(
         num_steps, d, u_scr[...], p, eps, u01, par_ref)
     u_scr[...] = u_out
-    # pack samples + stats into one (8, BC) output row block
-    bc = aux.shape[-1]
     out_ref[0] = jnp.concatenate(
-        [u_out[:d], logp_out, aprob, divergent.astype(aux.dtype),
-         jnp.zeros((_SUB - d - 3, bc), aux.dtype)], axis=0)
+        [u_out, logp_out, aprob, divergent.astype(aux.dtype)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -235,42 +312,46 @@ def hmc_sample_chunk_small(key, u, eps, lam, b, inv_mass, num_samples,
     n, d = u.shape
     dt = u.dtype
     assert d + 2 <= _SUB, f"hmc_sample_chunk_small: d={d} > {_SUB - 2}"
-    npad = -(-n // _LANE) * _LANE
+    npad = -(-n // (8 * _LANE)) * (8 * _LANE)
+    w = npad // 8
     T = num_samples
 
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
-    mom = jax.random.normal(k_mom, (T, d, n), dt) \
-        / jnp.sqrt(inv_mass.astype(dt))[None, :, None]
-    epsj = eps * jax.random.uniform(k_jit, (T, 1, n), dt,
+    mom = jax.random.normal(k_mom, (T, n, d), dt) \
+        / jnp.sqrt(inv_mass.astype(dt))[None, None, :]
+    epsj = eps * jax.random.uniform(k_jit, (T, n, 1), dt,
                                     minval=0.5, maxval=1.5)
-    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    # padded chains never accept (uniform pad = 2.0) and start at u = 0
+    # with zero momenta, so they stay exactly 0
+    u01 = jnp.pad(jax.random.uniform(k_acc, (T, n, 1), dt),
+                  ((0, 0), (0, npad - n), (0, 0)), constant_values=2.0)
     aux = jnp.concatenate(
-        [mom, epsj, u01, jnp.zeros((T, _SUB - d - 2, n), dt)], axis=1)
-    # pad lanes; padded chains never accept (uniform pad = 2.0) and start
-    # at u = 0 with zero momenta, so they stay exactly 0
-    aux = _pad_lanes(aux, npad)
-    aux = aux.at[:, d + 1, n:].set(2.0)
-    u8 = _pad_lanes(jnp.zeros((_SUB, n), dt).at[:d].set(u.T), npad)
+        [jax.vmap(lambda x: _pack_chains(x, npad))(mom),
+         jax.vmap(lambda x: _pack_chains(x, npad))(epsj),
+         u01.reshape(T, 8, w)], axis=1)              # (T, 8(d+2), W)
+    u8 = _pack_chains(u, npad)
     par = jnp.zeros((_SUB, _LANE), dt)
     par = par.at[:d, :d].set(lam.astype(dt))
     par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
     par = par.at[:d, MAX_DIM_VPU + 1].set(inv_mass.astype(dt))
 
+    rows_aux = 8 * (d + 2)
+    rows_out = 8 * (d + 3)
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, num_steps, d),
         grid=(T,),
-        in_specs=[pl.BlockSpec((_SUB, npad), lambda t: (0, 0)),
-                  pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
+        in_specs=[pl.BlockSpec((8 * d, w), lambda t: (0, 0)),
+                  pl.BlockSpec((1, rows_aux, w), lambda t: (t, 0, 0)),
                   pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
-        out_specs=pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, _SUB, npad), dt),
-        scratch_shapes=[pltpu.VMEM((_SUB, npad), dt)],
+        out_specs=pl.BlockSpec((1, rows_out, w), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, rows_out, w), dt),
+        scratch_shapes=[pltpu.VMEM((8 * d, w), dt)],
         interpret=interpret,
     )(u8, aux, par)
-    us = jnp.swapaxes(out[:, :d, :n], 1, 2)          # (T, N, d)
-    logps = out[:, d, :n]
-    aprobs = out[:, d + 1, :n]
-    divs = out[:, d + 2, :n] > 0.5
+    us = jax.vmap(lambda o: _unpack_chains(o[: 8 * d], n, d))(out)
+    logps = out[:, 8 * d: 8 * d + 8].reshape(T, npad)[:, :n]
+    aprobs = out[:, 8 * d + 8: 8 * d + 16].reshape(T, npad)[:, :n]
+    divs = out[:, 8 * d + 16: 8 * d + 24].reshape(T, npad)[:, :n] > 0.5
     u_final = us[-1]
     return us, logps, aprobs, divs, u_final
 
@@ -374,23 +455,25 @@ def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
         in_slow = in_slow | ((t >= prev) & (t < bidx) & was_slow)
         prev = bidx
 
-    aux = aux_ref[0]                  # rows: 0..d-1 STANDARD normals,
-    # momenta scaled by the EVOLVING mass: p_j = z_j / sqrt(im_j)
-    p = jnp.concatenate(              # row d jitter, row d+1 accept unif
-        [aux[j: j + 1, :] * jax.lax.rsqrt(st_scr[_R_IM, j])
-         for j in range(d)]
-        + [jnp.zeros((_SUB - d, aux.shape[-1]), aux.dtype)], axis=0)
-    eps = jnp.exp(srow(_R_LOGEPS)) * aux[d: d + 1, :]
-    u01 = aux[d + 1: d + 2, :]
+    aux = aux_ref[0]                  # (8(d+2), W) packed: STANDARD
+    # normal momenta scaled by the EVOLVING mass: p_j = z_j / sqrt(im_j)
+    p = jnp.concatenate(
+        [aux[8 * j: 8 * (j + 1), :] * jax.lax.rsqrt(st_scr[_R_IM, j])
+         for j in range(d)], axis=0)
+    eps = jnp.exp(srow(_R_LOGEPS)) * aux[8 * d: 8 * d + 8, :]
+    u01 = aux[8 * d + 8: 8 * d + 16, :]
 
-    u_out, _, _, aprob, _, _, _ = _transition_core(
+    u_out, _, _, aprob, _, _, _ = _transition_core_packed(
         num_steps, d, u_scr[...], p, eps, u01, par_ref,
         im_fn=lambda j: st_scr[_R_IM, j])
     u_scr[...] = u_out
 
-    # pooled accept statistic over LIVE chains (pads masked)
-    mask = (jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 1)
-            < n_live).astype(dt)
+    # pooled accept statistic over LIVE chains (pads masked; the packed
+    # flat chain index is sublane * W + lane)
+    w_cols = aprob.shape[-1]
+    flat = (jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 0) * w_cols
+            + jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 1))
+    mask = (flat < n_live).astype(dt)
     a_mean = jnp.sum(aprob * mask) / c_live
 
     # dual averaging (inference/hmc.py:da_update constants)
@@ -412,9 +495,9 @@ def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
         n_new = n_w + c_live
         mean_s, m2_s = [], []
         for j in range(d):
-            uj = u_out[j: j + 1, :] * mask
-            b_mean = jnp.sum(uj) / c_live
-            b_m2 = jnp.sum(((u_out[j: j + 1, :] - b_mean) * mask) ** 2)
+            uj_t = u_out[8 * j: 8 * (j + 1), :]
+            b_mean = jnp.sum(uj_t * mask) / c_live
+            b_m2 = jnp.sum(((uj_t - b_mean) * mask) ** 2)
             mean_j = st_scr[_R_MEAN, j]
             delta = b_mean - mean_j
             mean_s.append(mean_j + delta * c_live / n_new)
@@ -427,14 +510,16 @@ def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
     @pl.when(t == nT - 1)
     def _():
         # pack final (u, eps_bar, inv_mass) into the single output block
-        # (concatenate, not .at[].set — Mosaic has no scatter)
+        # (concatenate, not .at[].set — Mosaic has no scatter): rows
+        # [0, 8d) = packed u; the trailing 8-row tile carries eps on
+        # sublane 0 and im_j on sublane 1 + j
         bc2 = u_out.shape[-1]
         eps_row = jnp.full((1, bc2), jnp.exp(srow(_R_LOGEPSBAR)), dt)
         im_rows = [jnp.full((1, bc2), st_scr[_R_IM, j], dt)
                    for j in range(d)]
         out_ref[...] = jnp.concatenate(
-            [u_out[:d], jnp.zeros((_SUB - 1 - d, bc2), dt), eps_row]
-            + im_rows + [jnp.zeros((_SUB - d, bc2), dt)], axis=0)
+            [u_out, eps_row] + im_rows
+            + [jnp.zeros((7 - d, bc2), dt)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -454,7 +539,7 @@ def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
     n, d = u0s.shape
     dt = u0s.dtype
     assert d + 2 <= _SUB
-    npad = -(-n // _LANE) * _LANE
+    npad = -(-n // (8 * _LANE)) * (8 * _LANE)
     T = int(num_warmup)
 
     fast1, slow, fast2 = warmup_schedule(T)
@@ -469,33 +554,36 @@ def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
 
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
     # STANDARD normals — the kernel scales by the evolving 1/sqrt(im)
-    mom = jax.random.normal(k_mom, (T, d, n), dt)
-    jit = jax.random.uniform(k_jit, (T, 1, n), dt, minval=0.5, maxval=1.5)
-    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
+    mom = jax.random.normal(k_mom, (T, n, d), dt)
+    jit = jax.random.uniform(k_jit, (T, n, 1), dt, minval=0.5, maxval=1.5)
+    u01 = jnp.pad(jax.random.uniform(k_acc, (T, n, 1), dt),
+                  ((0, 0), (0, npad - n), (0, 0)), constant_values=2.0)
+    w = npad // 8
     aux = jnp.concatenate(
-        [mom, jit, u01, jnp.zeros((T, _SUB - d - 2, n), dt)], axis=1)
-    aux = _pad_lanes(aux, npad)
-    aux = aux.at[:, d + 1, n:].set(2.0)
-    u8 = _pad_lanes(jnp.zeros((_SUB, n), dt).at[:d].set(u0s.T), npad)
+        [jax.vmap(lambda x: _pack_chains(x, npad))(mom),
+         jax.vmap(lambda x: _pack_chains(x, npad))(jit),
+         u01.reshape(T, 8, w)], axis=1)              # (T, 8(d+2), W)
+    u8 = _pack_chains(u0s, npad)
     par = jnp.zeros((_SUB, _LANE), dt)
     par = par.at[:d, :d].set(lam.astype(dt))
     par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
 
+    rows_aux = 8 * (d + 2)
     out = pl.pallas_call(
         functools.partial(_warmup_kernel, num_steps, d, n,
                           float(eps0), float(target_accept),
                           tuple(boundaries)),
         grid=(T,),
-        in_specs=[pl.BlockSpec((_SUB, npad), lambda t: (0, 0)),
-                  pl.BlockSpec((1, _SUB, npad), lambda t: (t, 0, 0)),
+        in_specs=[pl.BlockSpec((8 * d, w), lambda t: (0, 0)),
+                  pl.BlockSpec((1, rows_aux, w), lambda t: (t, 0, 0)),
                   pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
-        out_specs=pl.BlockSpec((2 * _SUB, npad), lambda t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((2 * _SUB, npad), dt),
-        scratch_shapes=[pltpu.VMEM((_SUB, npad), dt),
+        out_specs=pl.BlockSpec((8 * d + 8, w), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8 * d + 8, w), dt),
+        scratch_shapes=[pltpu.VMEM((8 * d, w), dt),
                         pltpu.VMEM((16, _LANE), dt)],
         interpret=interpret,
     )(u8, aux, par)
-    us = out[:d, :n].T
-    eps = out[_SUB - 1, 0]
-    inv_mass = jnp.stack([out[_SUB + j, 0] for j in range(d)])
+    us = _unpack_chains(out[: 8 * d], n, d)
+    eps = out[8 * d, 0]
+    inv_mass = jnp.stack([out[8 * d + 1 + j, 0] for j in range(d)])
     return us, eps, inv_mass

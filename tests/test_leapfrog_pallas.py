@@ -255,14 +255,14 @@ def test_sample_chunk_matches_single_transitions():
         T, L, interpret=True)
 
     k_mom, k_jit, k_acc = jax.random.split(jax.random.fold_in(key, 2), 3)
-    mom = jax.random.normal(k_mom, (T, d, n)) / jnp.sqrt(im)[None, :, None]
-    epsj = eps0 * jax.random.uniform(k_jit, (T, 1, n),
+    mom = jax.random.normal(k_mom, (T, n, d)) / jnp.sqrt(im)[None, None, :]
+    epsj = eps0 * jax.random.uniform(k_jit, (T, n, 1),
                                      minval=0.5, maxval=1.5)
-    u01 = jax.random.uniform(k_acc, (T, 1, n))
+    u01 = jax.random.uniform(k_acc, (T, n, 1))
     u = u0
     for t in range(T):
         (u, _), logp, ap, dv, _, _ = hmc_transition_small(
-            u, mom[t].T, epsj[t, 0], u01[t, 0], lam, b, im, L,
+            u, mom[t], epsj[t, :, 0], u01[t, :, 0], lam, b, im, L,
             interpret=True)
         np.testing.assert_array_equal(np.asarray(us[t]), np.asarray(u))
         np.testing.assert_array_equal(np.asarray(logps[t]),
