@@ -9,14 +9,24 @@ leapfrog scan ops, energies, accept selects) of a few microseconds each
 (measured 0.21-0.27 ms per 8-leapfrog transition at 10^4 chains, d=3, on
 a v5e).
 
-This kernel runs the ENTIRE transition minus the PRNG draws in ONE launch:
-leapfrog integration, both Hamiltonians, the Metropolis accept and the
-state/logp selection. Layout: chains on LANES, dims on SUBLANES — ``u``
-is an (8, N) f32 block (rows 0..d-1 live, the rest zero-padded with zero
-inverse mass so padded coordinates stay exactly 0). The gradient b - Λu
-unrolls over the d^2 static entries of Λ (scalar reads from a VMEM params
-tile broadcast onto (1, N) rows), so every op is an elementwise VPU op —
-no MXU, no padding waste.
+Three tiers, all elementwise VPU (gradients b - Λu unroll over the d^2
+static entries of Λ as scalar reads from a VMEM params tile — no MXU, no
+padding waste):
+
+- `hmc_transition_small`: ONE whole transition per launch (leapfrog,
+  Hamiltonians, Metropolis accept/selection). Layout: chains on lanes,
+  dims on sublanes — (8, N) blocks with rows 0..d-1 live.
+- `hmc_sample_chunk_small` (round 4): the ENTIRE sampling phase in one
+  launch — grid over transitions, chain block in VMEM scratch.
+- `hmc_warmup_chunk_small` (round 4): the ENTIRE pooled windowed warmup
+  in one launch — dual-averaging scalars, Chan-Welford moments and the
+  inverse mass in VMEM scratch, window resets on static grid indices.
+
+The chunk kernels use the PACKED layout (`_transition_core_packed`):
+coordinate j fills all 8 sublanes of rows [8j, 8j+8) of an (8d, N/8)
+block, so every VPU op runs at full tile utilization (the (1, N) row
+layout wastes 7/8) — measured 31.5 -> 20 ms for a 300+500-iteration run
+at 10^4 chains, d=3 (docs/performance.md).
 
 Cites SURVEY.md §2a extension row / §7.6 ("Pallas kernel fusing leapfrog
 integration with log-prob evaluation for the hot loop").
@@ -292,12 +302,13 @@ def hmc_sample_chunk_small(key, u, eps, lam, b, inv_mass, num_samples,
                            num_steps, interpret=False):
     """Run ``num_samples`` whole HMC transitions in ONE pallas_call.
 
-    The chain block (chains on lanes, dims on sublanes) stays resident in
-    VMEM scratch across the grid's transition axis; per-transition randoms
-    (momenta, ±50% step-size jitter, accept uniforms) are pre-drawn and
-    streamed in as one packed (T, 8, N) aux array, and each transition
-    writes its post-accept positions + (logp, accept_prob, divergent) to
-    one packed (T, 8, N) output block. Eliminates the per-transition
+    The packed chain block ((8d, N/8), coordinate slabs over full
+    sublanes) stays resident in VMEM scratch across the grid's transition
+    axis; per-transition randoms (momenta, ±50% step-size jitter, accept
+    uniforms) are pre-drawn and streamed in as one packed
+    (T, 8(d+2), N/8) aux array, and each transition writes its
+    post-accept positions + (logp, accept_prob, divergent) to one packed
+    (T, 8(d+3), N/8) output block. Eliminates the per-transition
     launch overhead that floors the d <= 7 generic path (~25 XLA kernels
     per transition; docs/performance.md round-3/4 tables).
 
