@@ -80,23 +80,87 @@ def bench_hmc():
     wall = (time.perf_counter() - t0) / reps
     out = outs[-1]
 
-    b_samples = np.asarray(out["samples"]["coeffs / b"])  # (chains, draws)
-    ess = float(ess_autocorr(b_samples))
+    # min-across-coordinates ESS (round 5 — legs 3-4 adopted it in round
+    # 4; the headline leg now matches: the hardest coordinate bounds the
+    # usable sample size)
+    us = np.asarray(out["unconstrained"])  # (chains, draws, 3)
+    ess_per_coord = np.array(
+        [ess_autocorr(us[:, :, j]) for j in range(us.shape[-1])])
+    ess = float(ess_per_coord.min())
     ess_per_s = ess / wall
 
     print(json.dumps({
         "metric": "hmc_ess_per_s_1chip",
         "value": round(ess_per_s, 1),
-        "unit": "ESS/s",
+        "unit": "min-coord ESS/s",
         "vs_baseline": round(ess_per_s / 1e6, 3),
         "chains": num_chains,
         "num_warmup": num_warmup,
         "num_samples": num_samples,
-        "ess_b": round(ess, 1),
+        "ess_min": round(ess, 1),
+        "ess_median": round(float(np.median(ess_per_coord)), 1),
         "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
         "seconds": round(wall, 4),
         "platform": jax.devices()[0].platform,
     }))
+
+
+def bench_hmc_nonquad():
+    """HMC leg 2b (round 5, VERDICT r4 #1): a genuinely NON-quadratic
+    target — Bayesian logistic regression (models/logreg.py), the
+    reference's arbitrary-differentiable-model class (gfi.rs:49-92) —
+    through the GENERIC pooled path at 10^4 chains. No fused-kernel
+    escape hatch exists for this target: the number measures the round-5
+    fast generic path (pre-drawn randoms, (u, logp, grad) carry, unrolled
+    value_and_grad leapfrog, fused pooled stats)."""
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.hmc import hmc_runner
+    from modppl_tpu.models.logreg import make_logreg, simulate_logreg
+    from modppl_tpu.utils.diagnostics import ess_autocorr
+
+    d, n_data = 16, 256
+    X, ys, _ = simulate_logreg(jax.random.PRNGKey(42), n_data, d)
+    model = make_logreg(d)
+    num_chains, num_warmup, num_samples = 10_000, 300, 500
+
+    run = hmc_runner(model, (X, ys), Trie(), num_samples=num_samples,
+                     num_warmup=num_warmup, num_chains=num_chains,
+                     num_leapfrog=8, setup_key=jax.random.PRNGKey(99))
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out["unconstrained"])
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run(jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
+
+    us = np.asarray(out["unconstrained"])  # (chains, draws, d)
+    ess_per_coord = np.array(
+        [ess_autocorr(us[:, :, j]) for j in range(d)])
+    ess_min = float(ess_per_coord.min())
+    ess_per_s = ess_min / wall
+
+    print(json.dumps({
+        "metric": "hmc_nonquad_ess_per_s_1chip",
+        "value": round(ess_per_s, 1),
+        "unit": "min-coord ESS/s",
+        "vs_baseline": round(ess_per_s / 1e6, 3),
+        "chains": num_chains,
+        "dim": d,
+        "n_data": n_data,
+        "num_warmup": num_warmup,
+        "num_samples": num_samples,
+        "ess_min": round(ess_min, 1),
+        "ess_median": round(float(np.median(ess_per_coord)), 1),
+        "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
+        "fused_quadratic": bool(out["fused_quadratic"]),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
 
 
 def bench_hmc_d128():
@@ -296,6 +360,7 @@ def main():
     }))
     sys.stdout.flush()
     bench_hmc()
+    bench_hmc_nonquad()
     bench_hmc_d128()
     bench_nuts()
 

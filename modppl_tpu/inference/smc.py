@@ -79,6 +79,11 @@ class ParticleSystem:
         k = self._next_key()
         parents = jax.random.categorical(
             k, log_normalized, shape=(self.num_particles,))
+        # EAGER-TIER ONLY: `int(p)` forces a device->host sync per resample
+        # (one transfer of `parents`, then N Python-level clones). This
+        # tier exists for reference parity (particle_filter.rs:103-116) at
+        # small N; at scale use the compiled tiers' device-side gather
+        # (inference/vsmc.py, parallel/sharded_smc.py).
         self.traces = [self.traces[int(p)].copy() for p in parents]
         self.log_weights = jnp.zeros(self.num_particles)
         return log_total_weight

@@ -230,8 +230,15 @@ def batched_smc_step(s, kernel, constraints_t, num_particles, resampler,
     ``rejuvenation``: optional (Selection, num_moves) resample-move pass;
     ``rejuvenation_kernel`` is the PER-PARTICLE step Gen whose regenerate
     drives the moves (the auto-batch wrapper's ``.inner`` — regeneration
-    is inherently per-particle, so it vmaps the eager kernel)."""
-    key, k_res, k_gen, k_rej = jax.random.split(s.key, 4)
+    is inherently per-particle, so it vmaps the eager kernel).
+
+    RNG stream: the legacy 3-way split of ``s.key`` is preserved when
+    ``rejuvenation is None`` (ADVICE r4 — a round-4 unconditional 4-way
+    split silently changed every batched filter's bitwise stream); the
+    rejuvenation key is derived separately via fold_in only when used."""
+    key, k_res, k_gen = jax.random.split(s.key, 3)
+    k_rej = (jax.random.fold_in(s.key, 3) if rejuvenation is not None
+             else None)
     with jax.named_scope("smc.resample"):
         s, parents, ess, resampled = _resample(
             k_res, s, resampler, ess_threshold, num_particles)

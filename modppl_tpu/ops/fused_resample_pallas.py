@@ -385,6 +385,14 @@ def resample_fused_from_s(s, state_t, interpret=False):
             mode = "bf16k"
     if mode not in ("f32", "bf16", "bf16k", "bf16p"):
         raise ValueError(f"unknown fused-resample mode {mode!r}")
+    if mode == "bf16" and C > MAX_STATE_DIM_BF16:
+        # per-mode width cap enforced at resolve time (ADVICE r4): the
+        # legacy pre-split layout holds 3 split parts + lane row in a
+        # 16-row buffer, so C > 4 would fail later with an opaque shape
+        # error inside the kernel
+        raise ValueError(
+            f"fused-resample mode 'bf16' supports state dim <= "
+            f"{MAX_STATE_DIM_BF16} (got {C}); use mode 'bf16k' or 'bf16p'")
     if mode == "bf16":
         rows = 16
     elif mode == "bf16p":

@@ -106,6 +106,10 @@ def positions_cummax(cum, offs, total, u, num_particles, interpret=False):
     nb, bw = cum.shape
     assert bw == _BW, bw
     rows = min(_ROWS, nb)
+    # mirror of stats_cumsum's divisibility contract (ADVICE r4): without
+    # it a non-dividing nb would silently compute only nb // rows grid
+    # steps' worth of positions
+    assert nb % rows == 0, (nb, rows)
     scal = jnp.stack([jnp.asarray(total, jnp.float32),
                       jnp.asarray(u, jnp.float32)]).reshape(1, 2)
     s, mx = pl.pallas_call(

@@ -117,8 +117,13 @@ def _det_grid_positions(key, lw_local, axis_name, num_particles):
     m = jnp.max(lw_local)
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
+    nb = n_local // block if block else 0
     use_kernel = (jax.default_backend() == "tpu" and block == 1024
                   and n_local % block == 0
+                  # the kernels tile nb blocks in groups of min(256, nb)
+                  # rows; non-dividing nb (e.g. N = 300*1024) must take the
+                  # XLA path or the kernel asserts at trace time (ADVICE r4)
+                  and (nb <= 256 or nb % 256 == 0)
                   and not os.environ.get("MODPPL_DISABLE_PALLAS_GRID"))
     if use_kernel:
         # one-pass Pallas kernels: blocks stay in VMEM across all scan

@@ -322,3 +322,80 @@ def test_mxu_chunked_hmc_recovers_moments():
     np.testing.assert_allclose(us.mean(0), np.zeros(d), atol=0.05)
     np.testing.assert_allclose(us.var(0), np.diag(cov), rtol=0.15)
     assert 0.5 < float(np.asarray(out["accept_prob"]).mean()) <= 1.0
+
+
+def test_fused_selfcheck_passes_on_true_quadratic():
+    """The self-verification pass (VERDICT r4 #8): on a genuinely
+    quadratic target the fused path's kernel log-densities agree with the
+    generic log-joint up to a constant, so quad_check_ok is True."""
+    from modppl_tpu import Trie, gen, normal
+    from modppl_tpu.inference.hmc import hmc
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    obs = Trie.from_dict({"x": 1.0})
+    out = hmc(jax.random.PRNGKey(0), conjugate, (), obs, num_samples=40,
+              num_warmup=60, num_chains=8, use_fused_quadratic=True)
+    assert bool(out["fused_quadratic"])
+    assert bool(out["quad_check_ok"])
+    assert float(out["quad_check_max_dev"]) < 1e-3
+
+
+def test_fused_selfcheck_catches_wrong_dispatch(monkeypatch):
+    """If detection hands the kernels a WRONG quadratic form (standing in
+    for a target that is quadratic at the probes but not where the chains
+    go), the run's re-scored draws disagree with the generic log-joint by
+    a non-constant amount and the check flags it."""
+    import importlib
+
+    from modppl_tpu import Trie, gen, normal
+
+    hmc_mod = importlib.import_module("modppl_tpu.inference.hmc")
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    real_detect = hmc_mod.detect_quadratic_target
+
+    def wrong_detect(logprob_flat, dim, dtype=jnp.float32, **kw):
+        quad = real_detect(logprob_flat, dim, dtype, **kw)
+        assert quad is not None
+        lam, b = quad
+        return 2.5 * lam, b      # deliberately mismatched curvature
+
+    monkeypatch.setattr(hmc_mod, "detect_quadratic_target", wrong_detect)
+    obs = Trie.from_dict({"x": 1.0})
+    out = hmc_mod.hmc(jax.random.PRNGKey(0), conjugate, (), obs,
+                      num_samples=40, num_warmup=60, num_chains=8,
+                      use_fused_quadratic=True)
+    assert bool(out["fused_quadratic"])
+    assert not bool(out["quad_check_ok"])
+    assert float(out["quad_check_max_dev"]) > 1e-2
+
+
+def test_zero_warmup_auto_dispatch_falls_back_to_generic():
+    """ADVICE r4: auto-dispatch (use_fused_quadratic=None) with
+    num_warmup=0 must transparently take the generic path (the warmup
+    chunk kernel's grid cannot be zero-length) instead of raising — a
+    pre-adapted zero-warmup run is valid."""
+    from modppl_tpu import Trie, gen, normal
+    from modppl_tpu.inference.hmc import hmc
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    obs = Trie.from_dict({"x": 1.0})
+    out = hmc(jax.random.PRNGKey(0), conjugate, (), obs, num_samples=20,
+              num_warmup=0, num_chains=4, step_size=0.3)
+    assert not bool(out["fused_quadratic"])
+    assert np.asarray(out["unconstrained"]).shape == (4, 20, 1)
