@@ -120,14 +120,18 @@ def bench_hmc_nonquad():
     from modppl_tpu.models.logreg import make_logreg, simulate_logreg
     from modppl_tpu.utils.diagnostics import ess_autocorr
 
-    d, n_data = 16, 256
+    # (d, n_data, L) = (16, 128, 4) from the round-5 sweep
+    # (docs/performance.md): ESS efficiency is ~70% at L=8 already, so
+    # halving both the data term's HBM traffic and the trajectory length
+    # nearly doubles ESS/s twice (2.2e7 @ 256/L8 -> 4.6e7 @ 128/L4)
+    d, n_data = 16, 128
     X, ys, _ = simulate_logreg(jax.random.PRNGKey(42), n_data, d)
     model = make_logreg(d)
     num_chains, num_warmup, num_samples = 10_000, 300, 500
 
     run = hmc_runner(model, (X, ys), Trie(), num_samples=num_samples,
                      num_warmup=num_warmup, num_chains=num_chains,
-                     num_leapfrog=8, setup_key=jax.random.PRNGKey(99))
+                     num_leapfrog=4, setup_key=jax.random.PRNGKey(99))
     out = run(jax.random.PRNGKey(0))
     jax.block_until_ready(out["unconstrained"])
     reps = 3
@@ -241,7 +245,9 @@ def bench_nuts():
     model = make_hierarchical_static(n_points)
     observed = Trie.from_dict({"ys": ys, "is_linear": False})
 
-    num_chains, num_warmup, num_samples = 2048, 200, 300
+    # 10^4 chains (round 5; was 2048) — the north-star scale, so the
+    # ChEES leg below is an honest head-to-head
+    num_chains, num_warmup, num_samples = 10_000, 200, 300
     run = nuts_runner(model, (xs,), observed, num_samples=num_samples,
                       num_warmup=num_warmup, num_chains=num_chains,
                       max_depth=6, setup_key=jax.random.PRNGKey(99))
@@ -272,6 +278,223 @@ def bench_nuts():
         "mean_tree_depth": round(float(jnp.mean(out["tree_depth"])), 2),
         "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
         "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
+
+
+def bench_chees():
+    """ChEES-HMC leg (round 5, VERDICT r4 #2): the TPU-native fixed-length
+    alternative to NUTS on the SAME hierarchical target, same chain count,
+    same warmup/sample budget — pooled trajectory-length adaptation gives
+    every chain ONE shared leapfrog count per iteration (uniform control
+    flow), where NUTS pays the vmapped while_loop batch-max tree depth."""
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.chees import chees_runner
+    from modppl_tpu.models.hierarchical_static import (
+        NOISE,
+        make_hierarchical_static,
+    )
+    from modppl_tpu.utils.diagnostics import ess_autocorr
+
+    n_points = 10
+    xs = jnp.linspace(-1.0, 1.0, n_points)
+    ys = jnp.asarray(0.3 + 0.5 * xs - 0.8 * xs * xs
+                     + NOISE * np.random.default_rng(0).standard_normal(
+                         n_points), jnp.float32)
+    model = make_hierarchical_static(n_points)
+    observed = Trie.from_dict({"ys": ys, "is_linear": False})
+
+    num_chains, num_warmup, num_samples = 10_000, 200, 300
+    run = chees_runner(model, (xs,), observed, num_samples=num_samples,
+                       num_warmup=num_warmup, num_chains=num_chains,
+                       setup_key=jax.random.PRNGKey(99))
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out["unconstrained"])
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run(jax.random.PRNGKey(i + 1)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
+
+    us = np.asarray(out["unconstrained"])  # (chains, draws, 3)
+    ess_per_coord = np.array(
+        [ess_autocorr(us[:, :, j]) for j in range(us.shape[-1])])
+    ess_min = float(ess_per_coord.min())
+    ess_per_s = ess_min / wall
+
+    print(json.dumps({
+        "metric": "chees_ess_per_s_1chip",
+        "value": round(ess_per_s, 1),
+        "unit": "min-coord ESS/s",
+        "vs_baseline": round(ess_per_s / 1e6, 3),
+        "chains": num_chains,
+        "num_warmup": num_warmup,
+        "num_samples": num_samples,
+        "ess_min": round(ess_min, 1),
+        "trajectory_length": round(float(out["trajectory_length"]), 3),
+        "mean_leapfrog": round(float(np.mean(
+            np.asarray(out["num_leapfrog"]))), 2),
+        "accept_rate": round(float(jnp.mean(out["accept_prob"])), 3),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
+
+
+def bench_vi():
+    """VI leg (round 5, VERDICT r4 #7): mean-field ADVI on the d=16
+    logistic regression at 1024 MC samples per step — the inference
+    family where the TPU advantage is most conventional (the per-step
+    work is a (num_mc, d) x (d, n_data) matmul pair in the forward and
+    reverse passes: MXU FLOPs, not launch overhead). Metric: ELBO
+    Monte-Carlo model evaluations per second (num_steps x num_mc / wall);
+    posterior-moment correctness for this family is gated in
+    tests/test_hmc_vi.py and tests/test_vi_minibatch.py."""
+    import numpy as np
+
+    from modppl_tpu import Trie
+    from modppl_tpu.inference.vi import advi
+    from modppl_tpu.models.logreg import make_logreg, simulate_logreg
+
+    d, n_data, num_mc, num_steps = 16, 256, 1024, 2000
+    X, ys, _ = simulate_logreg(jax.random.PRNGKey(7), n_data, d)
+    model = make_logreg(d)
+
+    def run(seed):
+        return advi(jax.random.PRNGKey(seed), model, (X, ys), Trie(),
+                    num_steps=num_steps, num_mc=num_mc,
+                    learning_rate=5e-3)
+
+    out = run(0)
+    jax.block_until_ready(out["elbo"])
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run(i + 1) for i in range(reps)]
+    jax.block_until_ready([o["elbo"] for o in outs])
+    wall = (time.perf_counter() - t0) / reps
+    out = outs[-1]
+
+    mc_per_s = num_steps * num_mc / wall
+    print(json.dumps({
+        "metric": "vi_elbo_mc_evals_per_s_1chip",
+        "value": round(mc_per_s, 1),
+        "unit": "MC model evals/s",
+        "vs_baseline": round(mc_per_s / 1e6, 3),
+        "dim": d,
+        "n_data": n_data,
+        "num_mc": num_mc,
+        "num_steps": num_steps,
+        "final_elbo": round(float(np.mean(np.asarray(out["elbo"])[-50:])),
+                            2),
+        "seconds": round(wall, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+    sys.stdout.flush()
+
+
+_LG_CACHE = {}
+
+
+def _lg_kernels():
+    """Scalar linear-Gaussian kernel + locally-optimal proposal for the
+    guided bench leg (module-level cache: Gen objects are static jit args,
+    so one identity per process keeps the jit cache warm)."""
+    if _LG_CACHE:
+        return _LG_CACHE["k"]
+    import jax.numpy as jnp
+
+    from modppl_tpu import gen, normal
+
+    A, Q, R = 0.9, 0.5, 0.3
+
+    @gen
+    def lg_init(h, _s0):
+        x = h.sample(normal, (0.0, 1.0), "x")
+        h.sample(normal, (x, R), "y")
+        return x
+
+    @gen
+    def lg_step(h, t, prev):
+        x = h.sample(normal, (A * prev, Q), "x")
+        h.sample(normal, (x, R), "y")
+        return x
+
+    @gen
+    def lg_prop(h, t, prev, cons):
+        # p(x_t | x_{t-1}, y_t) in closed form: zero-variance increments
+        y = cons.read("y")
+        prec = 1.0 / Q**2 + 1.0 / R**2
+        m = (A * prev / Q**2 + y / R**2) / prec
+        h.sample(normal, (m, 1.0 / jnp.sqrt(prec)), "x")
+
+    _LG_CACHE["k"] = (lg_init, lg_step, lg_prop, A, Q, R)
+    return _LG_CACHE["k"]
+
+
+def bench_smc_guided():
+    """Guided + rejuvenated SMC leg (round 5, VERDICT r4 #6): the round-4
+    algorithm-parity work (proposal + resample-move on the sharded batched
+    tier) finally has a driver-visible cost. Same N = 2^20 / T = 10 scale
+    as the headline bootstrap leg, on a scalar linear-Gaussian SSM with
+    the locally-optimal proposal and one regenerative move per step —
+    regressions in the propose/merge/constrained-generate/moves path now
+    show up here."""
+    import numpy as np
+
+    from modppl_tpu import Trie, select
+    from modppl_tpu.inference.vsmc import ScanKernel
+    from modppl_tpu.parallel.sharded_smc import (
+        sharded_batched_particle_filter,
+    )
+
+    lg_init, lg_step, lg_prop, A, Q, R = _lg_kernels()
+    num_particles = 1 << 20
+    num_steps = 10
+    rng = np.random.default_rng(5)
+    xs = [rng.standard_normal()]
+    for _ in range(num_steps - 1):
+        xs.append(A * xs[-1] + Q * rng.standard_normal())
+    obs = [jnp.asarray(x + R * rng.standard_normal(), jnp.float32)
+           for x in xs]
+    init_c = Trie.from_dict({"y": obs[0]})
+    step_c = jax.tree_util.tree_map(
+        lambda *v: jnp.stack(v),
+        *[Trie.from_dict({"y": o}) for o in obs[1:]])
+    kernel = ScanKernel(lg_init, lg_step)
+
+    def run(seed):
+        out = sharded_batched_particle_filter(
+            None, jax.random.PRNGKey(seed), kernel, jnp.zeros(()),
+            init_c, step_c, num_particles, ess_threshold=1.0,
+            auto_batch=True, store_ancestry=False, proposal=lg_prop,
+            rejuvenation=(select("x"), 1))
+        return out["log_ml"]
+
+    jax.block_until_ready(run(0))
+    reps = 8
+    times = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        outs = [run(10 * r + i + 1) for i in range(reps)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / reps)
+    best = min(times)
+    pps = num_particles * num_steps / best
+
+    print(json.dumps({
+        "metric": "smc_guided_rejuv_particle_steps_per_s_1chip",
+        "value": round(pps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(pps / 1e6, 3),
+        "particles": num_particles,
+        "steps": num_steps,
+        "proposal": "locally_optimal",
+        "rejuvenation_moves": 1,
+        "seconds_per_filter": round(best, 4),
         "platform": jax.devices()[0].platform,
     }))
     sys.stdout.flush()
@@ -359,10 +582,13 @@ def main():
         "platform": jax.devices()[0].platform,
     }))
     sys.stdout.flush()
+    bench_smc_guided()
     bench_hmc()
     bench_hmc_nonquad()
     bench_hmc_d128()
     bench_nuts()
+    bench_chees()
+    bench_vi()
 
 
 if __name__ == "__main__":

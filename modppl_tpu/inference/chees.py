@@ -197,7 +197,9 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                 h_t = h_stream[it]
                 eps = jnp.exp(da["log_eps"])
                 tau = jnp.exp(adam["log_tau"])
-                num_steps = jnp.ceil(h_t * tau / eps).astype(jnp.int32)
+                num_steps = jnp.clip(
+                    jnp.ceil(h_t * tau / eps), 1, max_leapfrog
+                ).astype(jnp.int32)
                 U2, LP2, G2, aprob, div, u_prop, p_end = _chees_transition(
                     vag, U, LP, G, eps, num_steps, inv_mass, mom_t, acc_t,
                     max_leapfrog)
@@ -211,17 +213,29 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                     # ChEES gradient wrt τ (paper eq. 14, accept-weighted):
                     #   ĝ = Σ_c A_c (‖u'_c−ū'‖² − ‖u_c−ū‖²)·⟨u'_c−ū', p'_c⟩
                     #       / Σ_c A_c · h_t
+                    # divergent chains carry inf/nan positions: mask them
+                    # out BEFORE the products (0 * inf = nan would poison
+                    # the pooled criterion and stick tau at nan forever)
+                    fin = ~div & jnp.all(jnp.isfinite(u_prop), -1) \
+                        & jnp.all(jnp.isfinite(p_end), -1)
+                    u_safe = jnp.where(fin[:, None], u_prop, 0.0)
+                    p_safe = jnp.where(fin[:, None], p_end, 0.0)
                     ubar = pooled_mean(U)
-                    ubar_p = pooled_mean(u_prop)
+                    n_fin = jnp.maximum(
+                        _pooled_sum(fin.astype(u_prop.dtype), axis_name),
+                        1.0)
+                    ubar_p = _pooled_sum(u_safe, axis_name) / n_fin
                     d_prev = jnp.sum((U - ubar[None, :]) ** 2, -1)
-                    cent = u_prop - ubar_p[None, :]
+                    cent = u_safe - ubar_p[None, :]
                     d_prop = jnp.sum(cent * cent, -1)
-                    proj = jnp.sum(cent * (inv_mass[None, :] * p_end), -1)
-                    per_chain = aprob * (d_prop - d_prev) * proj
+                    proj = jnp.sum(cent * (inv_mass[None, :] * p_safe), -1)
+                    per_chain = jnp.where(
+                        fin, aprob * (d_prop - d_prev) * proj, 0.0)
                     g_num = _pooled_sum(per_chain, axis_name)
                     grad = h_t * g_num / jnp.maximum(a_sum, 1e-6)
                     # normalize scale so Adam's lr is problem-independent
                     grad = grad / (1.0 + jnp.abs(grad))
+                    grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
                     adam = _adam_update(adam, grad, adam_lr)
                     # keep τ within integrable bounds
                     adam = dict(adam, log_tau=jnp.clip(

@@ -215,14 +215,14 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
         raise ValueError("the fused quadratic path needs num_warmup >= 1 "
                          "(a zero-length warmup kernel grid cannot "
                          "launch); pass use_fused_quadratic=False")
-    if u0s.shape[1] <= 6:
+    from modppl_tpu.ops.leapfrog_vpu_pallas import MAX_DIM_VPU_CHUNK
+
+    if u0s.shape[1] <= MAX_DIM_VPU_CHUNK:
         # round 4: BOTH phases as single kernel launches — the pooled
         # windowed warmup (dual averaging + Chan-Welford mass in VMEM
         # scratch, ops/leapfrog_vpu_pallas.hmc_warmup_chunk_small) and the
-        # sampling chunk. The scanned per-transition path costs ~0.4 ms of
-        # launch overhead per warmup iteration (120 ms for 300 iterations
-        # at 10^4 chains, d=3, v5e); the fused pair runs the same schedule
-        # in ~15 ms (docs/performance.md round-4 notes).
+        # sampling chunk. Round 5 extended the packed kernels' range to
+        # MAX_DIM_VPU_CHUNK via the generalized parameter tile.
         from modppl_tpu.ops.leapfrog_vpu_pallas import (
             hmc_sample_chunk_small,
             hmc_warmup_chunk_small,

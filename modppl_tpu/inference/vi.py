@@ -17,30 +17,77 @@ from jax.flatten_util import ravel_pytree
 from modppl_tpu.inference.hmc import make_unconstrained_logprob
 
 
+def _minibatch_logprob(model, args, observed, selection, minibatch,
+                       setup_key):
+    """Build the data-subsampled unconstrained log-joint (VERDICT r4 #7).
+
+    ``minibatch = (num_data, batch_size)``: the returned
+    ``logprob_flat(u, idx)`` calls the model with ``args + (idx,)`` where
+    ``idx`` is a (batch_size,) int32 row-index vector. The MODEL owns the
+    scaling contract: it must index its observations by ``idx`` and scale
+    the minibatch log-likelihood factor by ``num_data / batch_size`` —
+    with indices drawn WITH replacement (uniform choice), that estimator
+    is exactly unbiased for the full-data log-likelihood
+    (tests/test_vi_minibatch.py asserts the gradient identity).
+    """
+    num_data, batch_size = minibatch
+    idx0 = jnp.arange(batch_size, dtype=jnp.int32) % num_data
+    init_trace, _ = model.generate(setup_key, args + (idx0,), observed)
+    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
+        model, args + (idx0,), init_trace, observed, selection)
+
+    def logprob_idx(u, idx):
+        constraints = observed.copy()
+        ldj = 0.0
+        for addr, bij in bijectors.items():
+            constraints.observe(addr, bij.forward(u[addr]))
+            ldj = ldj + bij.log_det_jacobian(u[addr])
+        w = model.assess(jax.random.PRNGKey(0), args + (idx,), constraints)
+        return w + ldj
+
+    return logprob_idx, u0, bijectors, constrain
+
+
 def advi(key, model, args, observed, *, num_steps=2000, num_mc=8,
-         learning_rate=1e-2, selection=None, init_trace=None):
+         learning_rate=1e-2, selection=None, init_trace=None,
+         minibatch=None):
     """Mean-field ADVI; returns variational params, a posterior sampler, and
     the ELBO trace.
 
     ELBO(mu, log_sigma) = E_{z~q}[logp(z)] + H[q], with
     H[q] = 0.5 d (1 + log 2π) + Σ log σ.
+
+    ``minibatch=(num_data, batch_size)`` turns on data subsampling
+    (SURVEY §5 / BASELINE "VI" north star at scale): each optimization
+    step draws a fresh ``(batch_size,)`` index vector uniformly WITH
+    replacement and calls the model with ``args + (idx,)``. The model
+    must index its observations by ``idx`` and scale its minibatch
+    log-likelihood ``factor`` by ``num_data / batch_size`` (see
+    models/logreg.make_logreg_minibatch) — the subsampled ELBO gradient
+    is then exactly unbiased for the full-data one.
     """
     k_init, k_opt = jax.random.split(key)
-    if init_trace is None:
-        init_trace, _ = model.generate(k_init, args, observed)
-    logprob, u0, bijectors, constrain = make_unconstrained_logprob(
-        model, args, init_trace, observed, selection)
+    if minibatch is not None:
+        logprob_idx, u0, bijectors, constrain = _minibatch_logprob(
+            model, args, observed, selection, minibatch, k_init)
+        num_data, batch_size = minibatch
+    else:
+        if init_trace is None:
+            init_trace, _ = model.generate(k_init, args, observed)
+        logprob, u0, bijectors, constrain = make_unconstrained_logprob(
+            model, args, init_trace, observed, selection)
+        logprob_idx = lambda u, idx: logprob(u)
     u0_flat, unravel = ravel_pytree(u0)
     dim = u0_flat.shape[0]
 
-    def logprob_flat(u_flat):
-        return logprob(unravel(u_flat))
+    def logprob_flat(u_flat, idx):
+        return logprob_idx(unravel(u_flat), idx)
 
-    def elbo(params, k):
+    def elbo(params, k, idx):
         mu, log_sigma = params
         eps = jax.random.normal(k, (num_mc, dim), mu.dtype)
         zs = mu[None, :] + jnp.exp(log_sigma)[None, :] * eps
-        e_logp = jnp.mean(jax.vmap(logprob_flat)(zs))
+        e_logp = jnp.mean(jax.vmap(lambda z: logprob_flat(z, idx))(zs))
         entropy = 0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi)) + jnp.sum(log_sigma)
         return e_logp + entropy
 
@@ -54,14 +101,23 @@ def advi(key, model, args, observed, *, num_steps=2000, num_mc=8,
 
     def step(carry, k):
         params, opt_state = carry
+        if minibatch is not None:
+            idx = jax.random.choice(jax.random.fold_in(k, 1), num_data,
+                                    (batch_size,)).astype(jnp.int32)
+        else:
+            idx = None
         loss, grads = jax.value_and_grad(
-            lambda p: -elbo(p, k))(params)
+            lambda p: -elbo(p, k, idx))(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), -loss
 
     keys = jax.random.split(k_opt, num_steps)
-    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
+    # unrolling fuses consecutive optimization steps (each step is a
+    # launch-bound chain of small kernels at production MC sizes); only
+    # for long runs — it multiplies trace/compile time
+    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys,
+                                      unroll=4 if num_steps >= 256 else 1)
     mu, log_sigma = params
 
     def sample(key, num):

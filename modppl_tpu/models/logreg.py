@@ -39,6 +39,30 @@ def make_logreg(dim):
     return logreg
 
 
+def make_logreg_minibatch(dim, X, ys):
+    """Minibatch-ready variant for subsampled-ELBO VI (inference/vi.advi
+    with ``minibatch=(n, B)``): the model closes over the FULL data, takes
+    a trailing ``idx`` (B,) row-index arg, and scales the batch
+    log-likelihood by n/B — exactly unbiased under
+    choice-with-replacement subsampling."""
+    w_dist = iid(normal, dim)
+    X = jnp.asarray(X)
+    ys = jnp.asarray(ys)
+    scale = X.shape[0]
+
+    @gen
+    def logreg_mb(h, idx):
+        w = h.sample(w_dist, (0.0, 1.0), "w")
+        Xb, yb = X[idx], ys[idx]
+        logits = Xb @ w
+        ll = jnp.sum(yb * jax.nn.log_sigmoid(logits)
+                     + (1.0 - yb) * jax.nn.log_sigmoid(-logits))
+        h.factor(ll * (scale / idx.shape[0]), "loglik")
+        return logits
+
+    return logreg_mb
+
+
 def simulate_logreg(key, n, dim, w_true=None):
     """Draw (X, ys, w_true) with X ~ N(0, 1) features."""
     k_x, k_w, k_y = jax.random.split(key, 3)

@@ -44,9 +44,33 @@ _LANE = 128
 _BC = 4096        # chains per grid block
 
 MAX_DIM_VPU = 7
+# chunk kernels (packed layout) support larger d: the round-5 parameter
+# tile holds Λ at [:d, :d], b at column _COL_B and the inverse mass at
+# _COL_IM, in ceil(d/8)*8 sublane rows — no structural wall until the
+# d^2-term unrolled gradient blows up Mosaic compile time (measured
+# acceptable through d = 12; docs/performance.md round-5 sweep).
+MAX_DIM_VPU_CHUNK = 12
+_COL_B, _COL_IM = _LANE - 2, _LANE - 1
 
 # rows of the packed stats output
 _ROW_LOGP, _ROW_APROB, _ROW_DIV, _ROW_H0, _ROW_H1 = 0, 1, 2, 3, 4
+
+
+def _par_rows(d):
+    return max(_SUB, -(-d // _SUB) * _SUB)
+
+
+def _make_par(lam, b, inv_mass, dt):
+    """Round-5 chunk-kernel parameter tile: Λ at [:d, :d], b at column
+    _COL_B, inverse mass at _COL_IM (when given), ceil(d/8)*8 rows."""
+    d = lam.shape[0]
+    assert d <= _COL_B, d
+    par = jnp.zeros((_par_rows(d), _LANE), dt)
+    par = par.at[:d, :d].set(lam.astype(dt))
+    par = par.at[:d, _COL_B].set(b.astype(dt))
+    if inv_mass is not None:
+        par = par.at[:d, _COL_IM].set(inv_mass.astype(dt))
+    return par
 
 
 def _pad_lanes(x, n):
@@ -205,10 +229,10 @@ def _transition_core_packed(num_steps, d, u0, p, eps, u01, par_ref,
         return par_ref[j, k]
 
     def bvec(j):
-        return par_ref[j, MAX_DIM_VPU]
+        return par_ref[j, _COL_B]
 
     im = im_fn if im_fn is not None else (
-        lambda j: par_ref[j, MAX_DIM_VPU + 1])
+        lambda j: par_ref[j, _COL_IM])
 
     def row(x, j):
         return x[8 * j: 8 * (j + 1), :]   # (8, W) coordinate slab
@@ -322,7 +346,8 @@ def hmc_sample_chunk_small(key, u, eps, lam, b, inv_mass, num_samples,
     """
     n, d = u.shape
     dt = u.dtype
-    assert d + 2 <= _SUB, f"hmc_sample_chunk_small: d={d} > {_SUB - 2}"
+    assert d <= MAX_DIM_VPU_CHUNK, \
+        f"hmc_sample_chunk_small: d={d} > {MAX_DIM_VPU_CHUNK}"
     npad = -(-n // (8 * _LANE)) * (8 * _LANE)
     w = npad // 8
     T = num_samples
@@ -341,19 +366,17 @@ def hmc_sample_chunk_small(key, u, eps, lam, b, inv_mass, num_samples,
          jax.vmap(lambda x: _pack_chains(x, npad))(epsj),
          u01.reshape(T, 8, w)], axis=1)              # (T, 8(d+2), W)
     u8 = _pack_chains(u, npad)
-    par = jnp.zeros((_SUB, _LANE), dt)
-    par = par.at[:d, :d].set(lam.astype(dt))
-    par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
-    par = par.at[:d, MAX_DIM_VPU + 1].set(inv_mass.astype(dt))
+    par = _make_par(lam, b, inv_mass, dt)
 
     rows_aux = 8 * (d + 2)
     rows_out = 8 * (d + 3)
+    pr = _par_rows(d)
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, num_steps, d),
         grid=(T,),
         in_specs=[pl.BlockSpec((8 * d, w), lambda t: (0, 0)),
                   pl.BlockSpec((1, rows_aux, w), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
+                  pl.BlockSpec((pr, _LANE), lambda t: (0, 0))],
         out_specs=pl.BlockSpec((1, rows_out, w), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, rows_out, w), dt),
         scratch_shapes=[pltpu.VMEM((8 * d, w), dt)],
@@ -522,15 +545,16 @@ def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
     def _():
         # pack final (u, eps_bar, inv_mass) into the single output block
         # (concatenate, not .at[].set — Mosaic has no scatter): rows
-        # [0, 8d) = packed u; the trailing 8-row tile carries eps on
-        # sublane 0 and im_j on sublane 1 + j
+        # [0, 8d) = packed u; the trailing tile(s) carry eps on sublane 0
+        # and im_j on sublane 1 + j, zero-padded to whole 8-row tiles
         bc2 = u_out.shape[-1]
         eps_row = jnp.full((1, bc2), jnp.exp(srow(_R_LOGEPSBAR)), dt)
         im_rows = [jnp.full((1, bc2), st_scr[_R_IM, j], dt)
                    for j in range(d)]
+        tr = -(-(1 + d) // 8) * 8
         out_ref[...] = jnp.concatenate(
             [u_out, eps_row] + im_rows
-            + [jnp.zeros((7 - d, bc2), dt)], axis=0)
+            + [jnp.zeros((tr - 1 - d, bc2), dt)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -549,7 +573,8 @@ def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
 
     n, d = u0s.shape
     dt = u0s.dtype
-    assert d + 2 <= _SUB
+    assert d <= MAX_DIM_VPU_CHUNK, \
+        f"hmc_warmup_chunk_small: d={d} > {MAX_DIM_VPU_CHUNK}"
     npad = -(-n // (8 * _LANE)) * (8 * _LANE)
     T = int(num_warmup)
 
@@ -575,11 +600,10 @@ def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
          jax.vmap(lambda x: _pack_chains(x, npad))(jit),
          u01.reshape(T, 8, w)], axis=1)              # (T, 8(d+2), W)
     u8 = _pack_chains(u0s, npad)
-    par = jnp.zeros((_SUB, _LANE), dt)
-    par = par.at[:d, :d].set(lam.astype(dt))
-    par = par.at[:d, MAX_DIM_VPU].set(b.astype(dt))
+    par = _make_par(lam, b, None, dt)
 
     rows_aux = 8 * (d + 2)
+    pr = _par_rows(d)
     out = pl.pallas_call(
         functools.partial(_warmup_kernel, num_steps, d, n,
                           float(eps0), float(target_accept),
@@ -587,9 +611,11 @@ def hmc_warmup_chunk_small(key, u0s, eps0, lam, b, num_warmup, num_steps,
         grid=(T,),
         in_specs=[pl.BlockSpec((8 * d, w), lambda t: (0, 0)),
                   pl.BlockSpec((1, rows_aux, w), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((_SUB, _LANE), lambda t: (0, 0))],
-        out_specs=pl.BlockSpec((8 * d + 8, w), lambda t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((8 * d + 8, w), dt),
+                  pl.BlockSpec((pr, _LANE), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec(
+            (8 * d + (-(-(1 + d) // 8) * 8), w), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (8 * d + (-(-(1 + d) // 8) * 8), w), dt),
         scratch_shapes=[pltpu.VMEM((8 * d, w), dt),
                         pltpu.VMEM((16, _LANE), dt)],
         interpret=interpret,
