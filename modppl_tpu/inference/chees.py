@@ -210,6 +210,18 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                 a_mean = a_sum / c_total
                 if adapt:
                     da = da_update(da, a_mean, target=target_accept)
+                    # keep eps <= tau/2: if eps outgrows tau the step
+                    # count pins at 1 and tau stops affecting the kernel
+                    # — its gradient becomes pure noise and the
+                    # adaptation decouples (measured: eps 16.9, tau
+                    # 0.056, 1-step trajectories on a 1-D target). The
+                    # clip binds only in that degenerate regime; dual
+                    # averaging remains free to shrink eps
+                    cap = adam["log_tau"] - jnp.log(2.0)
+                    da = dict(da,
+                              log_eps=jnp.minimum(da["log_eps"], cap),
+                              log_eps_bar=jnp.minimum(da["log_eps_bar"],
+                                                      cap))
                     # ChEES gradient wrt τ (paper eq. 14, accept-weighted):
                     #   ĝ = Σ_c A_c (‖u'_c−ū'‖² − ‖u_c−ū‖²)·⟨u'_c−ū', p'_c⟩
                     #       / Σ_c A_c · h_t
@@ -237,10 +249,19 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                     grad = grad / (1.0 + jnp.abs(grad))
                     grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
                     adam = _adam_update(adam, grad, adam_lr)
-                    # keep τ within integrable bounds
+                    # STATIC τ bounds. An earlier eps-tied clip
+                    # (log eps .. log eps·max_leapfrog) was a real bug:
+                    # when dual averaging crashes eps early in warmup
+                    # (normal for a too-large step_size), the clip
+                    # dragged τ down with it and both recovered too
+                    # slowly — measured eps 100x under-adapted on the
+                    # TPU hierarchical leg (accept 0.96 at target 0.75,
+                    # 137-step trajectories). num_steps is already
+                    # bounded by max_leapfrog at use time.
                     adam = dict(adam, log_tau=jnp.clip(
                         adam["log_tau"],
-                        jnp.log(eps), jnp.log(eps * max_leapfrog)))
+                        jnp.log(jnp.asarray(1e-3, dt)),
+                        jnp.log(jnp.asarray(1e3, dt))))
                 if adapt_mass:
                     b_mean = pooled_mean(U2)
                     b_m2 = _pooled_sum((U2 - b_mean[None]) ** 2, axis_name)
@@ -249,7 +270,13 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                     mean = mean + delta * c_total / n_new
                     m2 = m2 + b_m2 + delta * delta * n * c_total / n_new
                     n = n_new
-                ys = (U2, LP2, aprob, div, num_steps) if collect else None
+                if collect == "debug":
+                    ys = (a_mean, da["log_eps"], adam["log_tau"],
+                          num_steps)
+                elif collect:
+                    ys = (U2, LP2, aprob, div, num_steps)
+                else:
+                    ys = None
                 return (U2, LP2, G2, da, adam, mean, m2, n), ys
 
             return body
@@ -301,7 +328,12 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
             var = m2 / jnp.maximum(n - 1.0, 1.0)
             shrink = n / (n + 5.0)
             var = shrink * var + (1.0 - shrink) * 1e-3
-            inv_mass = 1.0 / jnp.clip(var, 1e-8, 1e8)
+            # ROUND-5 FIX: inv_mass is M^-1 in the transition
+            # (p ~ N(0, M) is drawn as z/sqrt(inv_mass);
+            # u += eps*inv_mass*p), so optimal preconditioning sets it to
+            # the VARIANCE estimate (Stan's inv_metric = Sigma), NOT
+            # 1/var — see inference/adaptation.py for the measurement
+            inv_mass = jnp.clip(var, 1e-8, 1e8)
             carry = (U, LP, G, da_init(jnp.exp(da["log_eps_bar"])), adam,
                      zeros, zeros, jnp.zeros((), dt))
         if fast2 > 0:

@@ -357,8 +357,13 @@ def _transition_batch(vag, U, LP, G, eps_shared, inv_mass, mom_t, jit_t,
         p = p + 0.5 * eps * g
         return (u, p, lp, g), None
 
+    # full unroll lets XLA fuse across leapfrog steps (elementwise
+    # targets collapse to a handful of kernels); above dim 16 keep the
+    # loop rolled — large log-density bodies (e.g. mvnormal's unrolled
+    # Cholesky) make the unrolled HLO pathologically slow to compile
     (u, p, lp, g), _ = jax.lax.scan(lf, (U, p0, LP, G), None,
-                                    length=num_leapfrog, unroll=True)
+                                    length=num_leapfrog,
+                                    unroll=U.shape[1] <= 16)
     h1 = -lp + 0.5 * jnp.sum(inv_mass[None, :] * p * p, -1)
     delta_h = h0 - h1
     divergent = ~jnp.isfinite(delta_h) | (delta_h < -1000.0)
@@ -410,10 +415,15 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
         barrier = lambda x: x
         psum0 = lambda x: jnp.sum(x, axis=0)
         # unrolling quadruples trace/compile time; only worth it for
-        # production-length runs (the launch overhead it amortizes is a
-        # few ms total on a short run)
+        # production-scale runs (the launch overhead it amortizes is a
+        # few ms total on a short run, and irrelevant below ~512 chains).
+        # Above dim 16 back off entirely: the unrolled-leapfrog x
+        # outer-unroll product multiplies the log-density body ~32x, and
+        # a d=32 mvnormal (O(d^3) unrolled small-dim Cholesky) produced
+        # an HLO whose remote compile never finished (round-5 sweep)
         unroll = (_OUTER_UNROLL
-                  if (num_warmup + num_samples) >= 256 else 1)
+                  if (num_warmup + num_samples) >= 256
+                  and u0s.shape[0] >= 512 and dim <= 16 else 1)
     else:
         c_total = jnp.asarray(float(c_local), dt) * jax.lax.psum(
             jnp.ones((), dt), axis_name)
@@ -503,7 +513,14 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
         var = jnp.maximum(var, 0.0)
         shrink = n / (n + 5.0)
         var = shrink * var + (1.0 - shrink) * 1e-3
-        inv_mass = 1.0 / jnp.clip(var, 1e-8, 1e8)
+        # ROUND-5 FIX: inv_mass is M^-1 in the transition (p ~ N(0, M) is
+        # drawn as z/sqrt(inv_mass); u += eps*inv_mass*p), so optimal
+        # preconditioning sets it to the VARIANCE estimate (Stan's
+        # inv_metric = Sigma), NOT 1/var. The inverted form made the
+        # leapfrog frequency eps*precision on stiff coordinates —
+        # measured 400x-smaller adapted step sizes on the hierarchical
+        # target (eps 0.0017 vs 0.7 at the same accept rate).
+        inv_mass = jnp.clip(var, 1e-8, 1e8)
         carry = (U, LP, G, da_init(jnp.exp(da["log_eps_bar"])), zeros,
                  zeros, jnp.zeros((), dt))
     if fast2 > 0:
@@ -533,10 +550,13 @@ FUSED_QUADRATIC_MIN_DIM = 128
 # threshold below which the CHUNKED VPU kernels win (round 4): the whole
 # warmup and the whole sampling phase run as ONE launch each
 # (ops/leapfrog_vpu_pallas.hmc_warmup_chunk_small / hmc_sample_chunk_
-# small) — 0.143 -> 0.032 s for 300+500 iterations at 10^4 chains, d=3,
-# on a v5e (the scanned paths are per-iteration-launch bound). The gap
-# d in [7, 127] keeps the generic path.
-FUSED_QUADRATIC_MAX_DIM_VPU = 6
+# small). Round 5 extended the packed kernels' parameter tile past d=6
+# and measured the crossover against the NEW fast generic path
+# (docs/performance.md round-5 sweep, 10^4 chains, 300+300 iters, v5e):
+# d=3 kernel 1.7x, d=8 1.35x, d=12 4.3x — the kernel wins everywhere it
+# compiles, so the bound sits at the Mosaic compile-time wall
+# (MAX_DIM_VPU_CHUNK), not at a performance crossover.
+FUSED_QUADRATIC_MAX_DIM_VPU = 12
 
 
 def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,

@@ -113,11 +113,11 @@ def advi(key, model, args, observed, *, num_steps=2000, num_mc=8,
         return (params, opt_state), -loss
 
     keys = jax.random.split(k_opt, num_steps)
-    # unrolling fuses consecutive optimization steps (each step is a
-    # launch-bound chain of small kernels at production MC sizes); only
-    # for long runs — it multiplies trace/compile time
-    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys,
-                                      unroll=4 if num_steps >= 256 else 1)
+    # NOTE: outer-scan unroll (the HMC fast-path trick) was tried here and
+    # REVERTED: 2.16 -> 3.58 s on the d=16 VI bench leg (v5e) — the adam
+    # update's scalar chain defeats cross-step fusion, so unrolling only
+    # bloats the program
+    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
     mu, log_sigma = params
 
     def sample(key, num):

@@ -302,7 +302,10 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
                 shrink = n_w / (n_w + 5.0)
                 var = m2_scr[...] / jnp.maximum(n_w - 1.0, 1.0)
                 var = shrink * var + (1.0 - shrink) * 1e-3
-                im_scr[...] = 1.0 / jnp.clip(var, 1e-8, 1e8)
+                # ROUND-5 FIX: the metric M^-1 is the VARIANCE
+                # estimate (Stan's inv_metric), not 1/var — see
+                # inference/adaptation.py
+                im_scr[...] = jnp.clip(var, 1e-8, 1e8)
                 leb = srow(_R_LOGEPSBAR)
                 wrow(_R_LOGEPS, leb)
                 wrow(_R_MU, jnp.log(10.0) + leb)

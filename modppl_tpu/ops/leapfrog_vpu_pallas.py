@@ -471,7 +471,10 @@ def _warmup_kernel(num_steps, d, n_live, eps0, target, boundaries,
                     var_j = m2_j / jnp.maximum(n_w - 1.0, 1.0)
                     var_j = shrink * var_j + (1.0 - shrink) * 1e-3
                     var_j = jnp.clip(var_j, 1e-8, 1e8)
-                    var_scalars.append(1.0 / var_j)
+                    # ROUND-5 FIX: the metric M^-1 is the VARIANCE
+                    # estimate (Stan's inv_metric), not 1/var — see
+                    # inference/adaptation.py
+                    var_scalars.append(var_j)
                 wvec(_R_IM, var_scalars)
                 # dual averaging restarts around the adapted step size
                 leb = srow(_R_LOGEPSBAR)

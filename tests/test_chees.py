@@ -55,10 +55,11 @@ def test_chees_adapts_trajectory_to_scale():
     out = chees(jax.random.PRNGKey(1), wide, (), obs, num_samples=50,
                 num_warmup=300, num_chains=32, step_size=0.5,
                 init_traj_length=0.5)
-    # posterior sd ~ 2.2; optimal trajectories are O(sd), far above 0.5.
-    # mass adaptation rescales the metric, so compare in step units:
-    # trajectories must have grown to multiple leapfrog steps per draw
-    assert float(np.mean(np.asarray(out["num_leapfrog"]))) > 2.0
+    # posterior sd ~ 3.4; the criterion must GROW the trajectory length
+    # far past the (deliberately tiny) 0.5 init. On this 1-D target mass
+    # scaling makes near-single-step trajectories optimal, so assert on
+    # tau itself, not the leapfrog count.
+    assert float(out["trajectory_length"]) > 2.0
     mus = np.asarray(out["samples"]["mu"]).ravel()
     post_prec = 1.0 / 100.0 + 5.0 / 64.0
     assert abs(mus.std() - 1.0 / np.sqrt(post_prec)) < 0.6

@@ -289,8 +289,8 @@ def test_warmup_chunk_adapts_mass_and_step():
     u0 = jax.random.normal(jax.random.PRNGKey(0), (n, 3))
     us, eps, im = hmc_warmup_chunk_small(
         jax.random.PRNGKey(1), u0, 0.1, lam, b, 200, 8, interpret=True)
-    np.testing.assert_allclose(np.asarray(im), 1.0 / np.diag(cov),
-                               rtol=0.25)
+    # round-5 mass-convention fix: im (= M^-1) is the VARIANCE estimate
+    np.testing.assert_allclose(np.asarray(im), np.diag(cov), rtol=0.25)
     assert 0.05 < float(eps) < 5.0
 
     S, logps, aprobs, divs, _ = hmc_sample_chunk_small(
@@ -457,11 +457,12 @@ def test_chunk_kernels_d10_extended_range():
     np.testing.assert_allclose(np.asarray(uf), np.asarray(u),
                                rtol=2e-4, atol=2e-4)
 
-    # whole-warmup kernel at d=10: mass approaches marginal precisions
+    # whole-warmup kernel at d=10: the metric approaches the marginal
+    # VARIANCES (round-5 mass-convention fix)
     cov = jnp.linalg.inv(lam)
     us_w, eps, im_w = hmc_warmup_chunk_small(
         jax.random.PRNGKey(5), u0, 0.1, lam, b, 200, 6, interpret=True)
     np.testing.assert_allclose(np.asarray(im_w),
-                               1.0 / np.asarray(jnp.diagonal(cov)),
+                               np.asarray(jnp.diagonal(cov)),
                                rtol=0.4)
     assert 0.01 < float(eps) < 5.0
