@@ -82,10 +82,16 @@ def test_nuts_funnel_divergences():
     assert float(jnp.mean(out_bad["divergences"])) > 0.02
 
     # (b) adapted: low divergence rate, v-marginal near N(0,3) (generous
-    # tolerances: the funnel neck is genuinely hard without reparam)
+    # tolerances: the funnel neck is genuinely hard without reparam).
+    # target 0.99 (was 0.9): with the round-5 mass-convention fix the
+    # metric is the (mouth-dominated) marginal variance, so only a small
+    # step size lets trajectories enter the neck — the canonical funnel
+    # behavior of variance-metric HMC (Stan behaves the same); at 0.9 the
+    # v-marginal biases high (measured +1.08), at 0.99 it is exact
+    # (-0.02 +- , std 2.81)
     out = nuts(jax.random.PRNGKey(3), funnel, (), Trie(),
                num_samples=1500, num_warmup=800, num_chains=8,
-               max_depth=8, target_accept=0.9)
+               max_depth=8, target_accept=0.99)
     vs = np.asarray(out["samples"]["v"]).ravel()
     assert float(jnp.mean(out["divergences"])) < 0.1
     assert vs.mean() == pytest.approx(0.0, abs=0.6)
