@@ -169,13 +169,12 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
     # sampling keeps jittering (it is part of the kernel, not adaptation):
     h_samp = jnp.asarray(halton(num_samples), dt)
 
-    @jax.jit
-    def run(k_run):
-        chain_keys = jax.random.split(k_run, num_chains)
-        jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
-            k, u0_flat.shape, dt))(chain_keys)
-        u0s = u0_flat[None, :] + jitter
-
+    def chains(k_run, u0s):
+        """Core pipeline over pre-built initial positions — exposed (as
+        ``run.chains``) so parallel/distributed.shardmap_chees can run the
+        IDENTICAL body per shard with ``axis_name`` collectives. Returns
+        the raw stacks (us, logps, aprobs, divs, nsteps, eps, tau),
+        chains-major."""
         c_local = u0s.shape[0]
         if axis_name is None:
             c_total = jnp.asarray(float(c_local), dt)
@@ -356,7 +355,15 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
             False, False, h_samp, collect=True)
 
         sw = lambda x: jnp.swapaxes(x, 0, 1)
-        us, logps, aprobs, divs = sw(us), sw(logps), sw(aprobs), sw(divs)
+        return (sw(us), sw(logps), sw(aprobs), sw(divs), nsteps, eps, tau)
+
+    @jax.jit
+    def _run_jit(k_run):
+        chain_keys = jax.random.split(k_run, num_chains)
+        jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+            k, u0_flat.shape, dt))(chain_keys)
+        u0s = u0_flat[None, :] + jitter
+        us, logps, aprobs, divs, nsteps, eps, tau = chains(k_run, u0s)
         samples = jax.vmap(jax.vmap(constrain_flat))(us)
         return {
             "samples": samples,
@@ -369,6 +376,12 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
             "unconstrained": us,
         }
 
+    def run(k_run):
+        return _run_jit(k_run)
+
+    run.chains = chains
+    run.constrain_flat = constrain_flat
+    run.u0_flat = u0_flat
     return run
 
 

@@ -212,3 +212,48 @@ def shardmap_hmc(mesh, key, model, args, observed, *, num_samples=1000,
     samples = jax.vmap(jax.vmap(constrain_flat))(us)
     return {"samples": samples, "logp": logps, "accept_prob": aprobs,
             "divergences": divs, "step_size": eps, "unconstrained": us}
+
+
+def shardmap_chees(mesh, key, model, args, observed, *, num_chains=8,
+                   axis="dp", **chees_kwargs):
+    """ChEES-HMC with the chain axis explicitly sharded (round 5).
+
+    The pooled trajectory-length + step-size + mass adaptation crosses
+    shards through adaptation._pooled_sum's fixed add trees, and per-chain
+    randoms key off GLOBAL chain indices — dp=1 and dp=8 runs of the same
+    problem agree (asserted in tests/test_chees.py). The ChEES criterion's
+    cross-chain means pool over ALL chains on every shard, so the shared
+    (eps, tau) see the full 10^4-chain signal.
+    """
+    from modppl_tpu.inference.chees import chees_runner
+
+    n_shards = mesh.shape[axis]
+    if num_chains % n_shards:
+        raise ValueError(f"num_chains {num_chains} not divisible by "
+                         f"{axis}={n_shards}")
+
+    k_init, k_run = jax.random.split(key)
+    runner = chees_runner(model, args, observed, num_chains=num_chains,
+                          axis_name=axis, setup_key=k_init, **chees_kwargs)
+    u0_flat = runner.u0_flat
+
+    # identical global u0s construction to the single-device runner
+    chain_keys = jax.random.split(k_run, num_chains)
+    jitter = jax.vmap(lambda k: 0.5 * jax.random.normal(
+        k, u0_flat.shape, u0_flat.dtype))(chain_keys)
+    u0s = u0_flat[None, :] + jitter
+
+    sharded = shard_map(
+        runner.chains, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        check_vma=False)
+    with mesh:
+        us, logps, aprobs, divs, nsteps, eps, tau = jax.jit(sharded)(
+            k_run, u0s)
+
+    samples = jax.vmap(jax.vmap(runner.constrain_flat))(us)
+    return {"samples": samples, "logp": logps, "accept_prob": aprobs,
+            "divergences": divs, "step_size": eps,
+            "trajectory_length": tau, "num_leapfrog": nsteps,
+            "unconstrained": us}

@@ -72,3 +72,35 @@ def test_chees_requires_multiple_chains():
 
     with pytest.raises(ValueError, match="num_chains"):
         chees_runner(m, (), Trie(), num_chains=1)
+
+
+def test_shardmap_chees_matches_single_device():
+    """Sharded ChEES (round 5): the dp=8 shard_map run of the identical
+    pipeline agrees with the dp=1 run — the pooled (eps, tau, mass) cross
+    shards via the fixed add trees; per-chain randoms key off global
+    indices."""
+    from jax.sharding import Mesh
+
+    from modppl_tpu.parallel.distributed import shardmap_chees
+
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    obs = Trie.from_dict({"x": 1.0})
+    kwargs = dict(num_samples=30, num_warmup=60, num_chains=16,
+                  step_size=0.2)
+    key = jax.random.PRNGKey(4)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    one = shardmap_chees(mesh1, key, conjugate, (), obs, **kwargs)
+    eight = shardmap_chees(mesh8, key, conjugate, (), obs, **kwargs)
+    np.testing.assert_array_equal(np.asarray(one["step_size"]),
+                                  np.asarray(eight["step_size"]))
+    np.testing.assert_array_equal(
+        np.asarray(one["trajectory_length"]),
+        np.asarray(eight["trajectory_length"]))
+    np.testing.assert_array_equal(np.asarray(one["unconstrained"]),
+                                  np.asarray(eight["unconstrained"]))

@@ -152,3 +152,36 @@ def test_run_warmup_pooled_shapes():
     assert us.shape == (6, 3)
     assert eps.shape == ()
     assert inv_mass.shape == (3,)
+
+
+def test_adapted_metric_reaches_da_equilibrium_on_stiff_target():
+    """EFFICIENCY invariant (round 5): on a stiff anisotropic target the
+    adapted (eps, metric) must land chains at the dual-averaging target
+    accept rate with a step size of order the smallest POSTERIOR scale —
+    not orders of magnitude below it. This is the test class that would
+    have caught the rounds-3/4 inverted-mass bug (inv_mass = 1/var made
+    the leapfrog frequency eps*precision: eps equilibrated 400x small
+    while every posterior-correctness oracle stayed green)."""
+    from modppl_tpu.dists.iid import iid
+
+    sds = jnp.array([0.01, 0.1, 1.0, 10.0])  # condition number 1e6
+    xs4 = iid(normal, 4)
+
+    @gen
+    def aniso(h):
+        h.sample(xs4, (0.0, sds), "x")
+
+    out = hmc(jax.random.PRNGKey(5), aniso, (), Trie(), num_samples=100,
+              num_warmup=300, num_chains=32, num_leapfrog=8,
+              use_fused_quadratic=False)
+    acc = float(jnp.mean(out["accept_prob"]))
+    eps = float(out["step_size"])
+    # with a correct variance metric the problem is unit-scale: eps is
+    # O(0.1..2) regardless of the raw scales; the inverted metric drives
+    # eps below 1e-3 here
+    assert eps > 0.05, eps
+    # and sampling accept sits near the 0.8 DA target, not pinned at ~1
+    assert 0.55 < acc < 0.98, acc
+    # mixing sanity: the stiffest coordinate still moves
+    us = np.asarray(out["unconstrained"])  # (chains, draws, 4)
+    assert us[:, :, 0].std() > 0.004
