@@ -540,13 +540,16 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
     return sw(us), sw(logps), sw(aprobs), sw(divs), eps
 
 
-# threshold above which the MXU-tiled fused kernel beats the generic
-# (VPU-elementwise, XLA-fused) path: the kernel pads dim to 128 lanes, so
-# mid-size targets waste up to (128/d)^2 of the matmul. Measured
-# steady-state on a v5e at 10^4 chains, 8 leapfrog steps
-# (docs/performance.md): generic 0.21-0.24 ms/transition for d <= 64,
-# 0.30 at d = 128; fused flat at ~0.29 ms across d.
-FUSED_QUADRATIC_MIN_DIM = 128
+# threshold above which the MXU-tiled CHUNK kernels take over from the
+# packed VPU chunk kernels. Round 5 closed the old d in [7, 127] generic
+# gap with data (docs/performance.md round-5 sweep, 10^4 chains, 300+300
+# iters, v5e): at d=32 the MXU chunk (0.180 s) TIES the generic path's
+# best case (a diagonal target, 0.178 s) and beats it outright on dense
+# quadratics — where the generic path's O(d^3) unrolled mvnormal
+# gradient HLO did not even finish compiling. Auto-dispatch is now
+# contiguous: d <= FUSED_QUADRATIC_MAX_DIM_VPU -> VPU chunks, above ->
+# MXU chunks (whenever the quadratic probe succeeds).
+FUSED_QUADRATIC_MIN_DIM = 13
 # threshold below which the CHUNKED VPU kernels win (round 4): the whole
 # warmup and the whole sampling phase run as ONE launch each
 # (ops/leapfrog_vpu_pallas.hmc_warmup_chunk_small / hmc_sample_chunk_
