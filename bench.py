@@ -14,8 +14,9 @@
    CHUNKED VPU kernels — the whole pooled warmup and the whole sampling
    phase run as one kernel launch each (ops/leapfrog_vpu_pallas), 4.5x
    the scanned generic path's ESS/s at 10^4 chains (docs/performance.md
-   round-4 notes). The d in [7, 127] gap keeps the generic path; d >= 128
-   uses the MXU-tiled kernel (leg 3).
+   round-4 notes). Round 5 closed the old d in [7, 127] generic gap:
+   auto-dispatch is contiguous (d <= 12 VPU chunks, above MXU chunks,
+   leg 3 at d = 128).
 3. HMC ESS/s at d = 128 on a correlated, ill-conditioned Gaussian target
    (condition number 10^4): the leg where ops/leapfrog_pallas.py actually
    dispatches on TPU. Reports MIN-across-coordinates ESS — the hardest

@@ -591,15 +591,14 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
 
     # fused Pallas leapfrog dispatch: quadratic targets (the all-Gaussian /
     # conjugate zoo) run the whole chain batch in VMEM-resident blocks,
-    # SURVEY.md §2a extension row / §7.6. Auto: TPU only at
-    # dim >= FUSED_QUADRATIC_MIN_DIM — measured (docs/performance.md): the
-    # 128-lane MXU padding loses below one full tile, and the small-d
-    # chains-on-lanes VPU kernel (ops/leapfrog_vpu_pallas.py, one launch
-    # per whole transition) is within noise of the generic path at 10^4
-    # chains and ~10% behind at 10^5 (its 8-sublane padding costs
-    # bandwidth), so the generic path stays the small-d default. Force the
-    # kernels with use_fused_quadratic=True (d <= 7 then runs the VPU
-    # kernel; non-TPU backends run interpret mode — slow, for tests).
+    # SURVEY.md §2a extension row / §7.6. Auto (TPU, num_warmup >= 1):
+    # CONTIGUOUS over d since round 5 — d <= FUSED_QUADRATIC_MAX_DIM_VPU
+    # runs the packed VPU chunk kernels, larger d the MXU chunk kernels
+    # (measured sweep in docs/performance.md: the chunks win or tie the
+    # fast generic path at every measured d, and dense mid-d quadratics
+    # are compile-pathological on the generic path). Force with
+    # use_fused_quadratic=True; non-TPU backends run interpret mode —
+    # slow, for tests.
     quad = None
     dim = u0_flat.shape[0]
     if use_fused_quadratic and axis_name is not None:
@@ -720,15 +719,17 @@ def hmc(key, model, args, observed, **config):
     (parallel/distributed.shardmap_hmc); the fixed add-tree reduction order
     makes the adapted (eps, inv_mass) bitwise-equal across shardings.
 
-    ``use_fused_quadratic`` (default: auto-detect on TPU at dim <=
-    FUSED_QUADRATIC_MAX_DIM_VPU or dim >= FUSED_QUADRATIC_MIN_DIM) routes
-    targets whose unconstrained log-density is quadratic — the
-    all-Gaussian conjugate / linear-Gaussian zoo — through the fused
-    Pallas kernels: the ENTIRE pooled warmup and the ENTIRE sampling
-    phase each run as one launch (adaptation state in VMEM scratch;
-    ops/leapfrog_vpu_pallas.py at small d, ops/leapfrog_pallas.py above),
-    4.5x the generic path's ESS/s at 10^4 chains, d=3 on a v5e.
-    Non-quadratic targets fall back to the generic path transparently.
+    ``use_fused_quadratic`` (default: auto-detect on TPU at any dim —
+    contiguous since round 5) routes targets whose unconstrained
+    log-density is quadratic — the all-Gaussian conjugate /
+    linear-Gaussian zoo — through the fused Pallas kernels: the ENTIRE
+    pooled warmup and the ENTIRE sampling phase each run as one launch
+    (adaptation state in VMEM scratch; ops/leapfrog_vpu_pallas.py at
+    d <= 12, ops/leapfrog_pallas.py above), 1.7x the round-5 fast generic
+    path at d=3 and 4.3x at d=12 (10^4 chains, v5e). Non-quadratic
+    targets fall back to the generic path transparently, and the fused
+    dispatch self-verifies (``quad_check_ok``) by re-scoring final draws
+    through the generic log-joint.
 
     For repeated invocations build the sampler once with
     :func:`hmc_runner` and call it with fresh keys — each ``hmc()`` call
