@@ -54,6 +54,64 @@ def sv_scan_kernel(params: SVParams = SVParams()):
     return ScanKernel(sv_init, sv_step)
 
 
+def make_stochvol_joint(T, params: SVParams = SVParams()):
+    """Joint (whole-path) form for gradient inference (round 5).
+
+    NON-CENTERED parameterization: the latent address is the (T,) vector
+    of standard-normal innovations ``z`` (one ``iid`` plate — identity
+    bijector, unit prior scales, so the warmup metric starts
+    well-conditioned); the log-volatility path is reconstructed with an
+    in-model ``lax.scan`` and the observations enter through one
+    ``factor``. A genuinely non-quadratic d=T target (the likelihood
+    couples ``exp(h/2)`` scales) for HMC/ChEES/VI — the state-space
+    member of the non-quadratic benchmark family next to
+    models/logreg.py.
+    """
+    import jax
+
+    mu, phi, sigma, beta = params.mu, params.phi, params.sigma, params.beta
+    sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+    z_dist = iid_normal_T = None  # populated below (import-order tidiness)
+    from modppl_tpu.dists.iid import iid
+
+    z_dist = iid(normal, T)
+
+    @gen
+    def sv_joint(h, ys):
+        z = h.sample(z_dist, (0.0, 1.0), "z")
+        h0 = mu + sd0 * z[0]
+
+        def step(h_prev, z_t):
+            h_t = mu + phi * (h_prev - mu) + sigma * z_t
+            return h_t, h_t
+
+        _, hs = jax.lax.scan(step, h0, z[1:])
+        hv = jnp.concatenate([jnp.reshape(h0, (1,)), hs])
+        ll = jnp.sum(normal.logpdf(ys, (0.0, beta * jnp.exp(hv / 2.0))))
+        h.factor(ll, "lik")
+        return hv
+
+    return sv_joint
+
+
+def volatility_path(z, params: SVParams = SVParams()):
+    """Deterministic innovations -> log-volatility map (the same transform
+    sv_joint applies), for turning posterior ``z`` draws into ``h`` paths."""
+    import jax
+
+    mu, phi, sigma = params.mu, params.phi, params.sigma
+    sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+    h0 = mu + sd0 * z[..., 0]
+
+    def step(h_prev, z_t):
+        h_t = mu + phi * (h_prev - mu) + sigma * z_t
+        return h_t, h_t
+
+    _, hs = jax.lax.scan(step, h0, jnp.moveaxis(z[..., 1:], -1, 0))
+    return jnp.concatenate([h0[..., None], jnp.moveaxis(hs, 0, -1)],
+                           axis=-1)
+
+
 def simulate_sv(key, T, params: SVParams = SVParams()):
     """Ground-truth (h, y) path for tests/demos."""
     import jax
