@@ -20,16 +20,40 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# build the native C extensions in-place if missing (cheap; pure-Python
-# fallbacks cover failure, but the suite should exercise the native path)
+# Build the native C extensions in-place if missing OR unloadable (a .so
+# left behind by a different toolchain/ABI exists but fails to dlopen —
+# find_spec alone cannot tell). This must NOT import anything under
+# modppl_tpu: the package __init__ pulls in core.trie, which computes
+# HAVE_NATIVE_TRIE at import time — rebuilding after that is too late for
+# this process. Hence the dlopen probe + inline compile (mirrors
+# modppl_tpu/native/build.py) instead of calling the build module.
+def _ensure_native_extensions():
+    import ctypes
+    import subprocess
+    import sysconfig
+
+    nd = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "modppl_tpu", "native")
+    suffix = sysconfig.get_config_var("EXT_SUFFIX")
+    stale = False
+    for name in ("_addrops", "_ctrie"):
+        try:
+            ctypes.CDLL(os.path.join(nd, name + suffix))
+        except OSError:
+            stale = True
+    if stale:
+        cc = os.environ.get("CC", "gcc")
+        include = sysconfig.get_path("include")
+        for name in ("addrops", "ctrie"):
+            subprocess.run(
+                [cc, "-O2", "-fPIC", "-shared", f"-I{include}",
+                 os.path.join(nd, name + ".c"),
+                 "-o", os.path.join(nd, "_" + name + suffix)],
+                check=True)
+
+
 try:
-    import importlib.util as _ilu
-
-    if (_ilu.find_spec("modppl_tpu.native._addrops") is None
-            or _ilu.find_spec("modppl_tpu.native._ctrie") is None):
-        from modppl_tpu.native.build import build as _build_native
-
-        _build_native()
+    _ensure_native_extensions()
 except Exception:
     pass
 
