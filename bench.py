@@ -1,4 +1,6 @@
-"""Benchmark harness: two JSON lines on stdout (one per headline metric).
+"""Benchmark harness: one JSON line per leg, then a final SUMMARY line
+(the SMC headline metric with every leg's value embedded — the driver
+parses the last line and may truncate stdout to a tail).
 
 1. SMC particles/s/chip — the reference's headline SMC demo (spiral
    tracking, modppl/tests/smc.rs:49-92 / dyngenfns/unfold.rs) scaled to
@@ -41,6 +43,17 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+# every leg's result dict, in emission order — main() prints a final
+# SUMMARY line (the SMC headline metric + a compact map of every leg's
+# value) so a tail-truncated capture of stdout still carries all legs
+_RESULTS = []
+
+
+def _emit(d):
+    _RESULTS.append(d)
+    print(json.dumps(d))
+    sys.stdout.flush()
 
 
 def bench_hmc():
@@ -90,7 +103,7 @@ def bench_hmc():
     ess = float(ess_per_coord.min())
     ess_per_s = ess / wall
 
-    print(json.dumps({
+    _emit(({
         "metric": "hmc_ess_per_s_1chip",
         "value": round(ess_per_s, 1),
         "unit": "min-coord ESS/s",
@@ -148,7 +161,7 @@ def bench_hmc_nonquad():
     ess_min = float(ess_per_coord.min())
     ess_per_s = ess_min / wall
 
-    print(json.dumps({
+    _emit(({
         "metric": "hmc_nonquad_ess_per_s_1chip",
         "value": round(ess_per_s, 1),
         "unit": "min-coord ESS/s",
@@ -204,7 +217,7 @@ def bench_hmc_d128():
     ess_min = float(ess_per_coord.min())
     ess_per_s = ess_min / wall
 
-    print(json.dumps({
+    _emit(({
         "metric": "hmc_ess_per_s_d128_illcond_1chip",
         "value": round(ess_per_s, 1),
         "unit": "min-coord ESS/s",
@@ -267,7 +280,7 @@ def bench_nuts():
     ess_min = float(ess_per_coord.min())
     ess_per_s = ess_min / wall
 
-    print(json.dumps({
+    _emit(({
         "metric": "nuts_ess_per_s_1chip",
         "value": round(ess_per_s, 1),
         "unit": "min-coord ESS/s",
@@ -327,7 +340,7 @@ def bench_chees():
     ess_min = float(ess_per_coord.min())
     ess_per_s = ess_min / wall
 
-    print(json.dumps({
+    _emit(({
         "metric": "chees_ess_per_s_1chip",
         "value": round(ess_per_s, 1),
         "unit": "min-coord ESS/s",
@@ -380,7 +393,7 @@ def bench_vi():
     out = outs[-1]
 
     mc_per_s = num_steps * num_mc / wall
-    print(json.dumps({
+    _emit(({
         "metric": "vi_elbo_mc_evals_per_s_1chip",
         "value": round(mc_per_s, 1),
         "unit": "MC model evals/s",
@@ -486,7 +499,7 @@ def bench_smc_guided():
     best = min(times)
     pps = num_particles * num_steps / best
 
-    print(json.dumps({
+    _emit(({
         "metric": "smc_guided_rejuv_particle_steps_per_s_1chip",
         "value": round(pps, 1),
         "unit": "particle-steps/s",
@@ -572,7 +585,7 @@ def main():
     best = min(times)
     particle_steps_per_s = num_particles * num_steps / best
 
-    print(json.dumps({
+    _emit(({
         "metric": "smc_particle_steps_per_s_1chip",
         "value": round(particle_steps_per_s, 1),
         "unit": "particle-steps/s",
@@ -590,6 +603,18 @@ def main():
     bench_nuts()
     bench_chees()
     bench_vi()
+
+    # FINAL line = the headline metric again, with every leg's value
+    # embedded: the driver parses the LAST JSON line and keeps only a
+    # tail of stdout, so this one line must carry the whole round
+    head = next(r for r in _RESULTS
+                if r["metric"] == "smc_particle_steps_per_s_1chip")
+    summary = {k: head[k] for k in
+               ("metric", "value", "unit", "vs_baseline", "platform")}
+    summary["legs"] = {r["metric"]: [r["value"], r["unit"]]
+                       for r in _RESULTS}
+    print(json.dumps(summary))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

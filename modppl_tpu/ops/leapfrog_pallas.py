@@ -190,14 +190,103 @@ def hmc_transition_quadratic(key, u, eps, lam, b, inv_mass, num_leapfrog,
     return u_out, logp_out, accept_prob, divergent
 
 
-def _chunk_kernel_mxu(num_steps, u0_ref, mom_ref, ju_ref, lam_ref, b_ref,
-                      im_ref, out_ref, st_ref, u_scr):
+def _seg_width(d):
+    """Lane-group width for chain packing: the smallest 128-divisor tile
+    >= d. G = 128 // s chains share one 128-lane row (their Λ blocks sit
+    on the diagonal of a (128, 128) packed matrix), so d <= 64 quadratic
+    targets stop paying the full 128-lane padding (round 5: the d = 32
+    MXU path previously wasted 4x lanes AND 4x rows of MXU work)."""
+    for s in (16, 32, 64):
+        if d <= s:
+            return s
+    return _LANE
+
+
+def _seg_matrices(seg, dt):
+    """(B, Bt, C) 0/1 matrices for the packed-chain layout.
+
+    ``compact (BC, 8) @ B (8, 128)`` broadcasts per-(row, group) scalars
+    to their s-lane groups (step sizes, accept masks); ``plane (BC, 128)
+    @ Bt (128, 8)`` reduces each s-lane group to its compact column
+    (per-chain Hamiltonian / logp sums); ``row_plane (1, 128) @ C (128,
+    128)`` sums lanes with equal offset-in-group across groups
+    (per-coordinate pooling over ALL packed chains). Groups g >= G are
+    zero rows/columns of B/Bt, so the 8-wide compact padding is inert."""
+    ig8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    il8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    B = ((il8 // seg) == ig8).astype(dt)
+    ilt = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
+    igt = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
+    Bt = ((ilt // seg) == igt).astype(dt)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    C = ((ir % seg) == (ic % seg)).astype(dt)
+    return B, Bt, C
+
+
+def _pack_chains(x, s, rows):
+    """(..., n, d) -> (..., rows, 128): G = 128//s chains per packed row,
+    each padded to s lanes (pads zero: zero gradient, zero momentum)."""
+    G = _LANE // s
+    *lead, n, d = x.shape
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, rows * G - n), (0, s - d)])
+    return x.reshape(*lead, rows, _LANE)
+
+
+def _unpack_chains(xp, s, n, d):
+    *lead, rows, _ = xp.shape
+    G = _LANE // s
+    return xp.reshape(*lead, rows * G, s)[..., :n, :d]
+
+
+def _chain_compact(vals, s, rows, pad_value=0.0):
+    """(..., n) per-chain scalars -> (..., rows, 8) compact per-group
+    arrays (lane g = the value for the chain in group g of that row; the
+    kernel broadcasts to s-lane planes via ``@ B``). Compact streams keep
+    the HBM random-stream footprint at 8 floats per packed row instead of
+    a full 128-lane plane. Pad chains get ``pad_value`` (2.0 for accept
+    uniforms: a padded chain never accepts, so it stays at its zero pad)."""
+    G = _LANE // s
+    *lead, n = vals.shape
+    v = jnp.pad(vals, [(0, 0)] * len(lead) + [(0, rows * G - n)],
+                constant_values=pad_value)
+    v = v.reshape(*lead, rows, G)
+    if G < 8:
+        v = jnp.pad(v, [(0, 0)] * (len(lead) + 1) + [(0, 8 - G)],
+                    constant_values=pad_value)
+    return v
+
+
+def _pack_quad(lam, b, s, dt):
+    """Block-diagonal packed quadratic form: G copies of the (s, s)-padded
+    Λ on the diagonal of a (128, 128) matrix (cross-chain entries zero, so
+    ``u_packed @ lam_packed`` is every chain's gradient), b tiled."""
+    G = _LANE // s
+    lp = _pad_to(_pad_to(lam.astype(dt), s, 0), s, 1)
+    lam_p = jnp.kron(jnp.eye(G, dtype=dt), lp)
+    b_p = jnp.tile(_pad_to(b.astype(dt)[None, :], s, 1), (1, G))
+    return lam_p, b_p
+
+
+def _chunk_kernel_mxu(num_steps, seg, u0_ref, mom_ref, eps_ref, u01_ref,
+                      lam_ref, b_ref, im_ref, uo_ref, st_ref, u_scr):
     """Grid = (chain_blocks, num_samples): transitions iterate INNERMOST,
-    so each chain block's (BC, D) positions persist in VMEM scratch across
-    its whole sampling phase (re-initialized from u0 at t == 0);
+    so each block's packed positions persist in VMEM scratch across its
+    whole sampling phase (re-initialized from u0 at t == 0);
     per-transition randoms stream per grid step (the MXU counterpart of
     leapfrog_vpu_pallas._chunk_kernel, blocked over chains to respect the
-    16 MB scoped-VMEM limit at 4096+ chains)."""
+    16 MB scoped-VMEM limit at 4096+ chains).
+
+    Round 5: rows carry G = 128//seg chains each (block-diagonal Λ), so
+    d <= 64 targets do 128/s times less MXU work and HBM traffic.
+    Per-chain scalars travel COMPACT — (BC, 8) lane-per-group arrays for
+    the eps / accept-uniform streams (expanded to s-lane planes in-kernel
+    via ``@ B``) and a (BC, 24) stats output [logp | aprob | divergent]
+    — so stream/stat HBM stays at a few floats per packed row. Per-chain
+    Hamiltonian sums reduce plane -> compact via ``@ Bt``
+    (_seg_matrices). logp is computed elementwise via the gradient
+    identity logp_elem = 0.5*u*(b + g) (g = b - uΛ), reusing the
+    leapfrog's own matmuls."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -205,30 +294,26 @@ def _chunk_kernel_mxu(num_steps, u0_ref, mom_ref, ju_ref, lam_ref, b_ref,
         u_scr[...] = u0_ref[...]
 
     lam = lam_ref[...]
-    bv = b_ref[...]                  # (1, D)
-    im = im_ref[...]                 # (1, D)
-    u0 = u_scr[...]                  # (BC, D)
-    p = mom_ref[0]                   # (BC, D) pre-scaled momenta
-    eps = ju_ref[0, 0:1, :].T        # (BC, 1) jittered step sizes
-    u01 = ju_ref[0, 1:2, :].T        # (BC, 1) accept uniforms
+    bv = b_ref[...]                  # (1, 128) packed
+    im = im_ref[...]                 # (1, 128) packed
+    u0 = u_scr[...]                  # (BC, 128) packed rows
+    p0 = mom_ref[0]                  # (BC, 128) pre-scaled momenta
+    eps_c = eps_ref[0]               # (BC, 8) compact per-group
+    u01_c = u01_ref[0]               # (BC, 8)
+    dt = u0.dtype
 
     hi = jax.lax.Precision.HIGHEST
+    B, Bt, _ = _seg_matrices(seg, dt)
+    eps = jnp.dot(eps_c, B, precision=hi)    # (BC, 128) plane
 
     def grad(u):
         # HIGHEST is load-bearing (see _kernel)
-        return bv - jnp.dot(u, lam, preferred_element_type=u.dtype,
+        return bv - jnp.dot(u, lam, preferred_element_type=dt,
                             precision=hi)
 
-    def logp_of(u):
-        return (-0.5 * jnp.sum(
-            u * jnp.dot(u, lam, precision=hi), axis=-1, keepdims=True)
-            + jnp.sum(u * bv, axis=-1, keepdims=True))
-
-    def kin_of(p):
-        return 0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True)
-
-    logp0 = logp_of(u0)
-    h0 = -logp0 + kin_of(p)
+    def e_elem(u, g, p):
+        # -logp + kinetic, elementwise (per-chain totals via @ Bt)
+        return -0.5 * u * (bv + g) + 0.5 * im * p * p
 
     def body(_, carry):
         u, p, g = carry
@@ -238,42 +323,49 @@ def _chunk_kernel_mxu(num_steps, u0_ref, mom_ref, ju_ref, lam_ref, b_ref,
         p = p + 0.5 * eps * g
         return (u, p, g)
 
-    u, p, _ = jax.lax.fori_loop(0, num_steps, body, (u0, p, grad(u0)))
+    g0 = grad(u0)
+    e0 = e_elem(u0, g0, p0)
+    u1, p1, g1 = jax.lax.fori_loop(0, num_steps, body, (u0, p0, g0))
 
-    logp1 = logp_of(u)
-    h1 = -logp1 + kin_of(p)
-    delta_h = h0 - h1
-    divergent = jnp.logical_not(jnp.isfinite(delta_h)) | (delta_h < -1000.0)
-    aprob = jnp.where(divergent, 0.0,
-                      jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
-    accept = u01 < aprob
-    u_out = jnp.where(accept, u, u0)
+    dh_c = jnp.dot(e0 - e_elem(u1, g1, p1), Bt, precision=hi)  # (BC, 8)
+    div_c = jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
+    aprob_c = jnp.where(div_c, 0.0,
+                        jnp.minimum(1.0, jnp.exp(jnp.minimum(dh_c, 0.0))))
+    acc_c = (u01_c < aprob_c).astype(dt)
+    # accept plane, selected with where (NOT arithmetic blend): a
+    # divergent u1 carries inf/nan and 0 * inf would poison the reject
+    acc = jnp.dot(acc_c, B, precision=hi) > 0.5
+    u_out = jnp.where(acc, u1, u0)
+    lp_c = jnp.dot(0.5 * jnp.where(acc, u1 * (bv + g1), u0 * (bv + g0)),
+                   Bt, precision=hi)
     u_scr[...] = u_out
-    out_ref[0] = u_out
-    st_ref[0] = jnp.concatenate(
-        [jnp.where(accept, logp1, logp0), aprob,
-         divergent.astype(u0.dtype),
-         jnp.zeros((u0.shape[0], 5), u0.dtype)], axis=1).T
+    uo_ref[0] = u_out
+    st_ref[0] = jnp.concatenate([lp_c, aprob_c, div_c.astype(dt)], axis=1)
 
 
 # warmup-state scratch rows (VMEM (8, LANE) f32)
 _R_LOGEPS, _R_LOGEPSBAR, _R_HBAR, _R_MU, _R_TDA, _R_NW = 0, 1, 2, 3, 4, 5
 
 
-def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
-                       u0_ref, mom_ref, ju_ref, lam_ref, b_ref, out_ref,
-                       u_scr, st_scr, mean_scr, m2_scr, im_scr):
+def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries, seg,
+                       u0_ref, mom_ref, epsj_ref, u01_ref, lam_ref, b_ref,
+                       out_ref, u_scr, st_scr, mean_scr, m2_scr, im_scr):
     """Grid = (num_warmup,): the whole pooled windowed warmup in one
-    launch at d >= 128 — the (BC, D) chain block, dual-averaging scalars,
-    Chan-Welford (1, D) moments and the (1, D) inverse mass all live in
-    VMEM scratch (the MXU counterpart of leapfrog_vpu_pallas.
-    _warmup_kernel; per-coordinate chain reductions are single
-    row-axis sums here, no lane packing needed)."""
+    launch at d >= 13 — the packed chain block, dual-averaging scalars,
+    Chan-Welford (1, 128) moment planes and the (1, 128) inverse mass all
+    live in VMEM scratch (the MXU counterpart of leapfrog_vpu_pallas.
+    _warmup_kernel). Round 5: rows carry G = 128//seg chains each (see
+    _chunk_kernel_mxu); the Welford moments pool over ALL chains via the
+    cross-group matrix C (coordinate j's statistics combine the lanes
+    g*seg + j of every group g), so the adapted metric is identical in
+    distribution to the unpacked layout."""
     t = pl.program_id(0)
     nT = pl.num_programs(0)
     dt = st_scr.dtype
-    c_live = jnp.asarray(float(n_live), dt)
+    G = _LANE // seg
+    c_chains = jnp.asarray(float(n_live), dt)
     hi = jax.lax.Precision.HIGHEST
+    B, Bt, C = _seg_matrices(seg, dt)
 
     def srow(r):
         return st_scr[r, 0]
@@ -323,26 +415,20 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
 
     lam = lam_ref[...]
     bv = b_ref[...]
-    im = im_scr[...]                 # (1, D)
-    u0 = u_scr[...]                  # (BC, D)
-    z = mom_ref[0]                   # standard normals
-    p = z * jax.lax.rsqrt(im)
-    eps = jnp.exp(srow(_R_LOGEPS)) * ju_ref[0, 0:1, :].T   # (BC, 1)
-    u01 = ju_ref[0, 1:2, :].T
+    im = im_scr[...]                 # (1, 128) packed
+    u0 = u_scr[...]                  # (BC, 128) packed rows
+    z = mom_ref[0]                   # standard normals, packed
+    p0 = z * jax.lax.rsqrt(im)
+    eps = jnp.exp(srow(_R_LOGEPS)) \
+        * jnp.dot(epsj_ref[0], B, precision=hi)    # (BC, 128) plane
+    u01_c = u01_ref[0]               # (BC, 8) compact
 
     def grad(u):
-        return bv - jnp.dot(u, lam, preferred_element_type=u.dtype,
+        return bv - jnp.dot(u, lam, preferred_element_type=dt,
                             precision=hi)
 
-    def logp_of(u):
-        return (-0.5 * jnp.sum(
-            u * jnp.dot(u, lam, precision=hi), axis=-1, keepdims=True)
-            + jnp.sum(u * bv, axis=-1, keepdims=True))
-
-    def kin_of(p):
-        return 0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True)
-
-    h0 = -logp_of(u0) + kin_of(p)
+    def e_elem(u, g, p):
+        return -0.5 * u * (bv + g) + 0.5 * im * p * p
 
     def body(_, carry):
         u, p, g = carry
@@ -352,18 +438,23 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
         p = p + 0.5 * eps * g
         return (u, p, g)
 
-    u, p, _ = jax.lax.fori_loop(0, num_steps, body, (u0, p, grad(u0)))
-    delta_h = h0 - (-logp_of(u) + kin_of(p))
-    divergent = jnp.logical_not(jnp.isfinite(delta_h)) | (delta_h < -1000.0)
-    aprob = jnp.where(divergent, 0.0,
-                      jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0))))
-    accept = u01 < aprob
-    u_out = jnp.where(accept, u, u0)
+    g0 = grad(u0)
+    e0 = e_elem(u0, g0, p0)
+    u1, p1, g1 = jax.lax.fori_loop(0, num_steps, body, (u0, p0, g0))
+    dh_c = jnp.dot(e0 - e_elem(u1, g1, p1), Bt, precision=hi)
+    div_c = jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
+    aprob_c = jnp.where(div_c, 0.0,
+                        jnp.minimum(1.0, jnp.exp(jnp.minimum(dh_c, 0.0))))
+    acc_c = (u01_c < aprob_c).astype(dt)
+    acc = jnp.dot(acc_c, B, precision=hi) > 0.5
+    u_out = jnp.where(acc, u1, u0)
     u_scr[...] = u_out
 
-    mask = (jax.lax.broadcasted_iota(jnp.int32, aprob.shape, 0)
-            < n_live).astype(dt)
-    a_mean = jnp.sum(aprob * mask) / c_live
+    # live-chain mask, compact: chain id = row*G + group lane
+    rowi_c = jax.lax.broadcasted_iota(jnp.int32, aprob_c.shape, 0)
+    gi_c = jax.lax.broadcasted_iota(jnp.int32, aprob_c.shape, 1)
+    mask_c = (((rowi_c * G + gi_c) < n_live) & (gi_c < G)).astype(dt)
+    a_mean = jnp.sum(aprob_c * mask_c) / c_chains
 
     t_da = srow(_R_TDA) + 1.0
     eta_h = 1.0 / (t_da + 10.0)
@@ -379,42 +470,54 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries,
     @pl.when(in_slow)
     def _():
         n_w = srow(_R_NW)
-        n_new = n_w + c_live
+        n_new = n_w + c_chains
+        # live-chain mask as an s-lane plane for the moment sums
+        rowi = jax.lax.broadcasted_iota(jnp.int32, u_out.shape, 0)
+        lanei = jax.lax.broadcasted_iota(jnp.int32, u_out.shape, 1)
+        mask = ((rowi * G + lanei // seg) < n_live).astype(dt)
         um = u_out * mask                       # pads zeroed
-        b_mean = jnp.sum(um, axis=0, keepdims=True) / c_live
-        b_m2 = jnp.sum(((u_out - b_mean) * mask) ** 2, axis=0,
-                       keepdims=True)
+        # per-coordinate totals over ALL packed chains: row-sum to a
+        # (1, 128) lane plane, then pool across groups via C (each lane
+        # ends up holding its coordinate's all-chain total, replicated
+        # identically in every group)
+        b_mean = jnp.dot(jnp.sum(um, axis=0, keepdims=True), C,
+                         precision=hi) / c_chains
+        b_m2 = jnp.dot(jnp.sum(((u_out - b_mean) * mask) ** 2, axis=0,
+                               keepdims=True), C, precision=hi)
         mean = mean_scr[...]
         delta = b_mean - mean
-        mean_scr[...] = mean + delta * c_live / n_new
-        m2_scr[...] = m2_scr[...] + b_m2 + delta * delta * n_w * c_live \
+        mean_scr[...] = mean + delta * c_chains / n_new
+        m2_scr[...] = m2_scr[...] + b_m2 + delta * delta * n_w * c_chains \
             / n_new
         wrow(_R_NW, n_new)
 
     @pl.when(t == nT - 1)
     def _():
-        dcols = u_out.shape[-1]
-        eps_row = jnp.full((1, dcols), jnp.exp(srow(_R_LOGEPSBAR)), dt)
+        eps_row = jnp.full((1, _LANE), jnp.exp(srow(_R_LOGEPSBAR)), dt)
         out_ref[...] = jnp.concatenate(
             [u_out, im_scr[...], eps_row,
-             jnp.zeros((6, dcols), dt)], axis=0)
+             jnp.zeros((6, _LANE), dt)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_warmup", "num_steps", "eps0", "target_accept", "interpret"))
 def hmc_warmup_chunk(key, u0s, eps0, lam, b, num_warmup, num_steps,
                      target_accept=0.8, interpret=False):
-    """The ENTIRE pooled warmup in ONE pallas_call at d >= 128 (all chains
+    """The ENTIRE pooled warmup in ONE pallas_call at d >= 13 (all chains
     in one block — warmup writes no per-iteration outputs, so the block
-    fits scoped VMEM where the sampler must tile chains). Returns
-    (us (N, d), eps scalar, inv_mass (d,)). Same schedule/constants as
-    adaptation.run_warmup_pooled; separate pre-drawn RNG stream."""
+    fits scoped VMEM where the sampler must tile chains). d <= 64 targets
+    pack G = 128//s chains per lane row (round 5, see _seg_width).
+    Returns (us (N, d), eps scalar, inv_mass (d,)). Same schedule and
+    constants as adaptation.run_warmup_pooled; separate pre-drawn RNG
+    stream (re-laid-out in round 5 — the packed layout draws per-chain
+    (T, n) jitter/accept streams instead of (T, 1, n) rows)."""
     from modppl_tpu.inference.adaptation import warmup_schedule
 
     n, d = u0s.shape
     dt = u0s.dtype
-    dp = -(-d // _LANE) * _LANE
-    npad = -(-n // 8) * 8
+    s = _seg_width(d)
+    G = _LANE // s
+    rows = -(-(-(-n // G)) // 8) * 8    # ceil(n/G) rounded up to 8
     T = int(num_warmup)
 
     fast1, slow, fast2 = warmup_schedule(T)
@@ -427,43 +530,42 @@ def hmc_warmup_chunk(key, u0s, eps0, lam, b, num_warmup, num_steps,
         boundaries.append((idx, True))
 
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
-    mom = jax.random.normal(k_mom, (T, n, d), dt)
-    epsj = jax.random.uniform(k_jit, (T, 1, n), dt, minval=0.5, maxval=1.5)
-    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
-    ju = jnp.concatenate([epsj, u01, jnp.zeros((T, 6, n), dt)], axis=1)
-    ju = jnp.pad(ju, ((0, 0), (0, 0), (0, npad - n)))
-    ju = ju.at[:, 1, n:].set(2.0)
-    mom = jnp.pad(mom, ((0, 0), (0, npad - n), (0, dp - d)))
-    u_p = _pad_to(_pad_to(u0s, npad, 0), dp, 1)
-    lam_p = _pad_to(_pad_to(lam.astype(dt), dp, 0), dp, 1)
-    b_p = _pad_to(b.astype(dt)[None, :], dp, 1)
+    mom_p = _pack_chains(jax.random.normal(k_mom, (T, n, d), dt), s, rows)
+    epsj_c = _chain_compact(
+        jax.random.uniform(k_jit, (T, n), dt, minval=0.5, maxval=1.5),
+        s, rows)
+    u01_c = _chain_compact(jax.random.uniform(k_acc, (T, n), dt), s, rows,
+                           pad_value=2.0)
+    u_p = _pack_chains(u0s, s, rows)
+    lam_p, b_p = _pack_quad(lam, b, s, dt)
 
     out = pl.pallas_call(
         functools.partial(_warmup_kernel_mxu, num_steps, n, float(eps0),
-                          float(target_accept), tuple(boundaries)),
+                          float(target_accept), tuple(boundaries), s),
         grid=(T,),
-        in_specs=[pl.BlockSpec((npad, dp), lambda t: (0, 0)),
-                  pl.BlockSpec((1, npad, dp), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((1, 8, npad), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((dp, dp), lambda t: (0, 0)),
-                  pl.BlockSpec((1, dp), lambda t: (0, 0))],
-        out_specs=pl.BlockSpec((npad + 8, dp), lambda t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((npad + 8, dp), dt),
-        scratch_shapes=[pltpu.VMEM((npad, dp), dt),
+        in_specs=[pl.BlockSpec((rows, _LANE), lambda t: (0, 0)),
+                  pl.BlockSpec((1, rows, _LANE), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((1, rows, 8), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((1, rows, 8), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((_LANE, _LANE), lambda t: (0, 0)),
+                  pl.BlockSpec((1, _LANE), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((rows + 8, _LANE), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows + 8, _LANE), dt),
+        scratch_shapes=[pltpu.VMEM((rows, _LANE), dt),
                         pltpu.VMEM((8, _LANE), dt),
-                        pltpu.VMEM((1, dp), dt),
-                        pltpu.VMEM((1, dp), dt),
-                        pltpu.VMEM((1, dp), dt)],
+                        pltpu.VMEM((1, _LANE), dt),
+                        pltpu.VMEM((1, _LANE), dt),
+                        pltpu.VMEM((1, _LANE), dt)],
         # all chains live in one block (~2 MB each for u0/scratch/out plus
         # double-buffered streams) — past the default 16 MB scoped-VMEM
         # budget at 4096 chains, comfortably inside the chip's VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_p, mom, ju, lam_p, b_p)
-    us = out[:n, :d]
-    inv_mass = out[npad, :d]
-    eps = out[npad + 1, 0]
+    )(u_p, mom_p, epsj_c, u01_c, lam_p, b_p)
+    us = _unpack_chains(out[:rows], s, n, d)
+    inv_mass = out[rows, :d]    # group lanes are identical; first group
+    eps = out[rows + 1, 0]
     return us, eps, inv_mass
 
 
@@ -472,52 +574,63 @@ def hmc_warmup_chunk(key, u0s, eps0, lam, b, num_warmup, num_steps,
 def hmc_sample_chunk(key, u, eps, lam, b, inv_mass, num_samples, num_steps,
                      interpret=False):
     """All ``num_samples`` MXU-tiled HMC transitions in ONE pallas_call
-    (d >= 128 quadratic targets; the VPU counterpart is
-    leapfrog_vpu_pallas.hmc_sample_chunk_small). Returns
-    (us (T, N, d), logps (T, N), aprobs (T, N), divs (T, N))."""
+    (d >= 13 quadratic targets; the VPU counterpart is
+    leapfrog_vpu_pallas.hmc_sample_chunk_small). d <= 64 targets pack
+    G = 128//s chains per lane row (round 5, see _seg_width) — 128/s
+    times less MXU work and HBM traffic than the 128-lane-padded layout.
+    Returns (us (T, N, d), logps (T, N), aprobs (T, N), divs (T, N))."""
     n, d = u.shape
     dt = u.dtype
-    dp = -(-d // _LANE) * _LANE
-    bc = min(1024, -(-n // 8) * 8)
-    npad = -(-n // bc) * bc
+    s = _seg_width(d)
+    G = _LANE // s
+    rows_n = -(-n // G)
+    # pick the block COUNT first, then size blocks to fit: padding to a
+    # fixed 1024-row block would waste up to a whole block of MXU work
+    # (e.g. 2500 packed rows -> 3 x 1024 = 23% pad; here 3 x 840 = 0.8%)
+    nb = -(-rows_n // 1024)
+    per_block = -(-rows_n // nb)
+    bc = -(-per_block // 8) * 8
+    rows = nb * bc
     T = num_samples
 
     k_mom, k_jit, k_acc = jax.random.split(key, 3)
     mom = jax.random.normal(k_mom, (T, n, d), dt) \
         / jnp.sqrt(inv_mass.astype(dt))[None, None, :]
-    epsj = eps * jax.random.uniform(k_jit, (T, 1, n), dt,
-                                    minval=0.5, maxval=1.5)
-    u01 = jax.random.uniform(k_acc, (T, 1, n), dt)
-    # pads: never accept, zero momenta -> padded chains stay at u0 pad (0)
-    ju = jnp.concatenate(
-        [epsj, u01, jnp.zeros((T, 6, n), dt)], axis=1)
-    ju = jnp.pad(ju, ((0, 0), (0, 0), (0, npad - n)),
-                 constant_values=0.0)
-    ju = ju.at[:, 1, n:].set(2.0)
-    mom = jnp.pad(mom, ((0, 0), (0, npad - n), (0, dp - d)))
-    u_p = _pad_to(_pad_to(u, npad, 0), dp, 1)
-    lam_p = _pad_to(_pad_to(lam.astype(dt), dp, 0), dp, 1)
-    b_p = _pad_to(b.astype(dt)[None, :], dp, 1)
-    im_p = _pad_to(inv_mass.astype(dt)[None, :], dp, 1)
+    mom_p = _pack_chains(mom, s, rows)
+    # pads: never accept (u01 = 2), zero momenta -> padded chains stay 0
+    eps_c = _chain_compact(
+        eps * jax.random.uniform(k_jit, (T, n), dt, minval=0.5,
+                                 maxval=1.5), s, rows)
+    u01_c = _chain_compact(jax.random.uniform(k_acc, (T, n), dt), s, rows,
+                           pad_value=2.0)
+    u_p = _pack_chains(u, s, rows)
+    lam_p, b_p = _pack_quad(lam, b, s, dt)
+    im_p = jnp.tile(_pad_to(inv_mass.astype(dt)[None, :], s, 1), (1, G))
 
-    us, st = pl.pallas_call(
-        functools.partial(_chunk_kernel_mxu, num_steps),
-        grid=(npad // bc, T),
-        in_specs=[pl.BlockSpec((bc, dp), lambda c, t: (c, 0)),
-                  pl.BlockSpec((1, bc, dp), lambda c, t: (t, c, 0)),
-                  pl.BlockSpec((1, 8, bc), lambda c, t: (t, 0, c)),
-                  pl.BlockSpec((dp, dp), lambda c, t: (0, 0)),
-                  pl.BlockSpec((1, dp), lambda c, t: (0, 0)),
-                  pl.BlockSpec((1, dp), lambda c, t: (0, 0))],
-        out_specs=[pl.BlockSpec((1, bc, dp), lambda c, t: (t, c, 0)),
-                   pl.BlockSpec((1, 8, bc), lambda c, t: (t, 0, c))],
-        out_shape=[jax.ShapeDtypeStruct((T, npad, dp), dt),
-                   jax.ShapeDtypeStruct((T, 8, npad), dt)],
-        scratch_shapes=[pltpu.VMEM((bc, dp), dt)],
+    us_p, st_p = pl.pallas_call(
+        functools.partial(_chunk_kernel_mxu, num_steps, s),
+        grid=(rows // bc, T),
+        in_specs=[pl.BlockSpec((bc, _LANE), lambda c, t: (c, 0)),
+                  pl.BlockSpec((1, bc, _LANE), lambda c, t: (t, c, 0)),
+                  pl.BlockSpec((1, bc, 8), lambda c, t: (t, c, 0)),
+                  pl.BlockSpec((1, bc, 8), lambda c, t: (t, c, 0)),
+                  pl.BlockSpec((_LANE, _LANE), lambda c, t: (0, 0)),
+                  pl.BlockSpec((1, _LANE), lambda c, t: (0, 0)),
+                  pl.BlockSpec((1, _LANE), lambda c, t: (0, 0))],
+        out_specs=[pl.BlockSpec((1, bc, _LANE), lambda c, t: (t, c, 0)),
+                   pl.BlockSpec((1, bc, 24), lambda c, t: (t, c, 0))],
+        out_shape=[jax.ShapeDtypeStruct((T, rows, _LANE), dt),
+                   jax.ShapeDtypeStruct((T, rows, 24), dt)],
+        scratch_shapes=[pltpu.VMEM((bc, _LANE), dt)],
         interpret=interpret,
-    )(u_p, mom, ju, lam_p, b_p, im_p)
-    return (us[:, :n, :d], st[:, 0, :n], st[:, 1, :n],
-            st[:, 2, :n] > 0.5)
+    )(u_p, mom_p, eps_c, u01_c, lam_p, b_p, im_p)
+    us = _unpack_chains(us_p, s, n, d)
+    # compact stats: lanes [0:8) logp, [8:16) aprob, [16:24) divergent,
+    # one lane per group
+    lp = st_p[:, :, 0:G].reshape(T, rows * G)[:, :n]
+    ap = st_p[:, :, 8:8 + G].reshape(T, rows * G)[:, :n]
+    dv = st_p[:, :, 16:16 + G].reshape(T, rows * G)[:, :n]
+    return us, lp, ap, dv > 0.5
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -466,3 +466,92 @@ def test_chunk_kernels_d10_extended_range():
                                np.asarray(jnp.diagonal(cov)),
                                rtol=0.4)
     assert 0.01 < float(eps) < 5.0
+
+
+def test_packed_mxu_chunk_matches_reference_replay():
+    """Round-5 lane packing (G = 128//s chains per row, block-diagonal Λ —
+    leapfrog_pallas._seg_width): hmc_sample_chunk replays the SAME
+    pre-drawn randoms as a plain-JAX reference transition loop, so packed
+    positions / logp / accept probabilities / divergences must agree
+    elementwise across every group width s in {16, 32, 64, 128} and
+    non-aligned chain counts."""
+    from modppl_tpu.ops.leapfrog_pallas import hmc_sample_chunk
+
+    rng = np.random.default_rng(0)
+
+    def ref_sample_chunk(key, u, eps, lam, b, inv_mass, T, L):
+        n, d = u.shape
+        dt = u.dtype
+        k_mom, k_jit, k_acc = jax.random.split(key, 3)
+        mom = jax.random.normal(k_mom, (T, n, d), dt) \
+            / jnp.sqrt(inv_mass.astype(dt))[None, None, :]
+        epsj = eps * jax.random.uniform(k_jit, (T, n), dt,
+                                        minval=0.5, maxval=1.5)
+        u01 = jax.random.uniform(k_acc, (T, n), dt)
+
+        def logp(u):
+            return -0.5 * jnp.einsum('ni,ij,nj->n', u, lam, u) + u @ b
+
+        us_all, lps, aps = [], [], []
+        for t in range(T):
+            p = mom[t]
+            e = epsj[t][:, None]
+            g = b - u @ lam
+            h0 = -logp(u) + 0.5 * jnp.sum(inv_mass * p * p, -1)
+            uu, pp, gg = u, p, g
+            for _ in range(L):
+                pp = pp + 0.5 * e * gg
+                uu = uu + e * inv_mass * pp
+                gg = b - uu @ lam
+                pp = pp + 0.5 * e * gg
+            h1 = -logp(uu) + 0.5 * jnp.sum(inv_mass * pp * pp, -1)
+            dh = h0 - h1
+            ap = jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0)))
+            acc = u01[t] < ap
+            u = jnp.where(acc[:, None], uu, u)
+            us_all.append(u)
+            lps.append(logp(u))
+            aps.append(ap)
+        return jnp.stack(us_all), jnp.stack(lps), jnp.stack(aps)
+
+    # (d, n) covering s = 16 / 32 / 64 / 128 with ragged chain counts
+    for d, n in [(16, 24), (20, 10), (13, 37), (64, 9), (70, 5)]:
+        A = rng.standard_normal((d, d)) * 0.3
+        lam = jnp.asarray(A @ A.T + np.eye(d), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        u0 = jnp.asarray(rng.standard_normal((n, d)) * 0.3, jnp.float32)
+        im = jnp.asarray(1.0 + rng.random(d), jnp.float32)
+        T, L = 4, 3
+        key = jax.random.PRNGKey(42)
+        us, lp, ap, dv = hmc_sample_chunk(key, u0, 0.1, lam, b, im, T, L,
+                                          interpret=True)
+        rus, rlp, rap = ref_sample_chunk(key, u0, 0.1, lam, b, im, T, L)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(rus),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(rlp),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(rap),
+                                   atol=2e-3)
+        assert not np.asarray(dv).any()
+
+
+def test_packed_mxu_warmup_adapts_metric():
+    """Packed whole-warmup kernel (d = 24 -> s = 32, G = 4 chains/row):
+    the cross-group-pooled Chan-Welford metric approaches the marginal
+    VARIANCES (round-5 mass convention) and dual averaging settles eps in
+    a healthy range."""
+    from modppl_tpu.ops.leapfrog_pallas import hmc_warmup_chunk
+
+    rng = np.random.default_rng(1)
+    d, n = 24, 256
+    var = np.geomspace(0.1, 10.0, d)
+    lam = jnp.asarray(np.diag(1.0 / var), jnp.float32)
+    b = jnp.zeros(d, jnp.float32)
+    u0 = jnp.asarray(rng.standard_normal((n, d)) * np.sqrt(var),
+                     jnp.float32)
+    us, eps, im = hmc_warmup_chunk(jax.random.PRNGKey(7), u0, 0.5, lam, b,
+                                   150, 8, interpret=True)
+    assert us.shape == (n, d)
+    assert 0.05 < float(eps) < 5.0
+    ratio = np.asarray(im) / var
+    assert 0.2 < ratio.min() and ratio.max() < 5.0
