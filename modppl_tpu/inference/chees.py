@@ -91,10 +91,21 @@ def _phase_randoms(phase_key, gidx, length, dim, dtype):
 
 
 def _chees_transition(vag, U, LP, G, eps, num_steps, inv_mass, mom_t,
-                      acc_t, max_leapfrog):
+                      acc_t, max_leapfrog, static_unroll=None):
     """One whole-batch jittered-HMC transition; ``num_steps`` is a traced
     SCALAR shared by every chain (the ChEES design point: a chain-uniform
     ``fori_loop``, not a vmapped per-chain ``while_loop``).
+
+    ``static_unroll`` (round 5, late): run a STATIC, Python-unrolled loop
+    of that many leapfrog steps, each masked by ``i < num_steps`` (steps
+    past the jittered count recompute the frozen state and are selected
+    away). A dynamic ``fori_loop`` trip is a dispatch boundary per step —
+    at small d the whole transition is launch-bound (~24 us per gradient
+    evaluation measured on the d=3 hierarchical leg, vs ~4 us when XLA
+    can fuse across steps) — so paying <= 2x masked FLOPs for a fully
+    fused trajectory is a large net win. The step count is clamped to
+    ``static_unroll`` (the same capping semantics ``max_leapfrog`` already
+    has).
 
     Returns (U', LP', G', aprob, divergent, u_prop, p_end) — the proposal
     state and end momentum feed the ChEES gradient estimate.
@@ -111,8 +122,18 @@ def _chees_transition(vag, U, LP, G, eps, num_steps, inv_mass, mom_t,
         p = p + 0.5 * eps_c * g
         return u, p, lp, g
 
-    n = jnp.clip(num_steps, 1, max_leapfrog)
-    u, p, lp, g = jax.lax.fori_loop(0, n, lf, (U, p0, LP, G))
+    if static_unroll is None:
+        n = jnp.clip(num_steps, 1, max_leapfrog)
+        u, p, lp, g = jax.lax.fori_loop(0, n, lf, (U, p0, LP, G))
+    else:
+        n = jnp.clip(num_steps, 1, static_unroll)
+        carry = (U, p0, LP, G)
+        for i in range(static_unroll):
+            new = lf(i, carry)
+            pred = i < n
+            carry = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(pred, a, b), new, carry)
+        u, p, lp, g = carry
     h1 = -lp + 0.5 * jnp.sum(inv_mass[None, :] * p * p, -1)
     delta_h = h0 - h1
     divergent = ~jnp.isfinite(delta_h) | (delta_h < -1000.0)
@@ -127,14 +148,21 @@ def _chees_transition(vag, U, LP, G, eps, num_steps, inv_mass, mom_t,
 def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                  num_chains=2, step_size=0.1, init_traj_length=None,
                  target_accept=0.75, max_leapfrog=1000, adam_lr=0.025,
-                 selection=None, init_trace=None, axis_name=None,
-                 setup_key=None):
+                 static_unroll=None, selection=None, init_trace=None,
+                 axis_name=None, setup_key=None):
     """Build a reusable COMPILED ChEES-HMC sampler: ``run(key) -> dict``.
 
     Output contract follows hmc_runner, plus ``trajectory_length`` (the
     adapted τ) and ``num_leapfrog`` (per-iteration step counts of the
     sampling phase). ``target_accept`` defaults to 0.75 (jittered
     fixed-length HMC tolerates a slightly lower rate than NUTS's 0.8).
+
+    ``static_unroll=K`` caps trajectories at K steps and runs them as a
+    masked static unroll (one fused XLA region per transition instead of
+    a dispatch per leapfrog step — see :func:`_chees_transition`). Pick K
+    around the expected τ/ε (the jittered mean step count is τ/(2ε));
+    when the adapted trajectory wants more than K steps the cap binds,
+    exactly as ``max_leapfrog`` would.
     """
     if num_chains < 2:
         raise ValueError("chees: pooled trajectory adaptation needs "
@@ -196,12 +224,14 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                 h_t = h_stream[it]
                 eps = jnp.exp(da["log_eps"])
                 tau = jnp.exp(adam["log_tau"])
+                max_eff = (static_unroll if static_unroll is not None
+                           else max_leapfrog)
                 num_steps = jnp.clip(
-                    jnp.ceil(h_t * tau / eps), 1, max_leapfrog
+                    jnp.ceil(h_t * tau / eps), 1, max_eff
                 ).astype(jnp.int32)
                 U2, LP2, G2, aprob, div, u_prop, p_end = _chees_transition(
                     vag, U, LP, G, eps, num_steps, inv_mass, mom_t, acc_t,
-                    max_leapfrog)
+                    max_leapfrog, static_unroll=static_unroll)
                 U2, LP2, G2, aprob, u_prop, p_end = \
                     jax.lax.optimization_barrier(
                         (U2, LP2, G2, aprob, u_prop, p_end))

@@ -104,3 +104,52 @@ def test_shardmap_chees_matches_single_device():
         np.asarray(eight["trajectory_length"]))
     np.testing.assert_array_equal(np.asarray(one["unconstrained"]),
                                   np.asarray(eight["unconstrained"]))
+
+
+def test_chees_static_unroll_transition_equivalence():
+    """static_unroll (masked static leapfrog loop) must reproduce the
+    dynamic fori_loop transition exactly for every step count below the
+    cap: same randoms in, same state/logp/accept/proposal out."""
+    from modppl_tpu.inference.chees import _chees_transition
+
+    rng = np.random.default_rng(0)
+    n, d = 16, 3
+    lam = jnp.asarray(np.diag([1.0, 2.0, 0.5]), jnp.float64)
+
+    def logp(u):
+        return -0.5 * u @ lam @ u
+
+    vag = jax.vmap(jax.value_and_grad(logp))
+    U = jnp.asarray(rng.standard_normal((n, d)))
+    LP, G = vag(U)
+    im = jnp.asarray([1.0, 0.7, 1.3])
+    mom = jnp.asarray(rng.standard_normal((n, d)))
+    acc = jnp.asarray(rng.random(n))
+
+    for ns in [1, 5, 12, 16]:
+        o_dyn = _chees_transition(vag, U, LP, G, 0.2, jnp.asarray(ns), im,
+                                  mom, acc, 1000)
+        o_st = _chees_transition(vag, U, LP, G, 0.2, jnp.asarray(ns), im,
+                                 mom, acc, 1000, static_unroll=16)
+        for a, b in zip(o_dyn, o_st):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-9)
+
+
+def test_chees_static_unroll_conjugate_posterior():
+    """The fused static-unroll mode samples the same posterior (and caps
+    step counts at static_unroll)."""
+    @gen
+    def conjugate(h):
+        mu = h.sample(normal, (0.0, 1.0), "mu")
+        h.sample(normal, (mu, 0.5), "x")
+        return mu
+
+    obs = Trie.from_dict({"x": 1.0})
+    out = chees(jax.random.PRNGKey(0), conjugate, (), obs,
+                num_samples=400, num_warmup=300, num_chains=32,
+                static_unroll=16)
+    mus = np.asarray(out["samples"]["mu"])[:, 100:].ravel()
+    assert abs(mus.mean() - 0.8) < 0.05, mus.mean()
+    assert abs(mus.std() - np.sqrt(0.2)) < 0.05, mus.std()
+    assert int(np.asarray(out["num_leapfrog"]).max()) <= 16
