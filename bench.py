@@ -28,7 +28,13 @@ parses the last line and may truncate stdout to a tail).
    "NUTS/HMC"): measures the vmapped while_loop batch-max cost in the
    realistic multi-chain setting (see docs/performance.md round-4 notes).
 
-vs_baseline for both lines is measured against a 1e6/s north-star scale
+Round-5 legs: guided+rejuvenated SMC at N = 2^20 (the algorithm-parity
+path's driver-visible cost), non-quadratic HMC at 10^4 chains (Bayesian
+logistic regression d=16 — the fast generic path), ChEES-HMC at 10^4
+chains head-to-head with the NUTS leg, and mean-field ADVI MC-evals/s on
+the logistic regression.
+
+vs_baseline for every line is measured against a 1e6/s north-star scale
 (the reference publishes no throughput numbers at all; BASELINE.md rows
 are correctness tolerances).
 

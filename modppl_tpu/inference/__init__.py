@@ -26,8 +26,13 @@ from modppl_tpu.inference.kalman import (
 )
 from modppl_tpu.inference.hmc import hmc, hmc_runner
 from modppl_tpu.inference.nuts import nuts, nuts_runner
+from modppl_tpu.inference.chees import chees, chees_runner
 from modppl_tpu.inference.mala import mala
 from modppl_tpu.inference.vi import advi, advi_fullrank
+from modppl_tpu.inference.map_laplace import (
+    laplace_approximation,
+    map_optimize,
+)
 from modppl_tpu.inference.pgibbs import csmc_sweep, particle_gibbs
 from modppl_tpu.inference.pmcmc import (
     gaussian_walk_proposal,
@@ -56,6 +61,8 @@ __all__ = [
     "checkpointed_particle_filter", "checkpointed_hmc_runner",
     "mala",
     "hmc", "hmc_runner", "nuts", "nuts_runner",
+    "chees", "chees_runner",
     "particle_gibbs", "csmc_sweep",
     "advi", "advi_fullrank",
+    "map_optimize", "laplace_approximation",
 ]
