@@ -34,12 +34,11 @@ import numpy as np
 from jax.flatten_util import ravel_pytree
 
 from modppl_tpu.inference.hmc import (
+    _PREDRAW_SEG,
     da_init,
     da_update,
     make_unconstrained_logprob,
 )
-
-_PREDRAW_SEG = 64
 
 
 def halton(n, base=2):
@@ -193,7 +192,6 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
     fast1, slow, fast2 = warmup_schedule(num_warmup)
     # shared Halton jitter streams, one entry per iteration (host-side)
     h_warm = jnp.asarray(halton(num_warmup), dt) if num_warmup else None
-    h_samp = jnp.asarray(halton(num_samples) * 0.0 + 1.0, dt)  # placeholder
     # sampling keeps jittering (it is part of the kernel, not adaptation):
     h_samp = jnp.asarray(halton(num_samples), dt)
 
@@ -235,9 +233,12 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                 U2, LP2, G2, aprob, u_prop, p_end = \
                     jax.lax.optimization_barrier(
                         (U2, LP2, G2, aprob, u_prop, p_end))
-                a_sum = _pooled_sum(aprob, axis_name)
-                a_mean = a_sum / c_total
                 if adapt:
+                    # pooled accept stats only while adapting: the frozen
+                    # sampling phase would otherwise pay a per-iteration
+                    # cross-shard reduction nothing consumes
+                    a_sum = _pooled_sum(aprob, axis_name)
+                    a_mean = a_sum / c_total
                     da = da_update(da, a_mean, target=target_accept)
                     # keep tau >= 2*eps: if eps outgrows tau the step
                     # count pins at 1 and tau stops affecting the kernel
@@ -303,6 +304,8 @@ def chees_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                     m2 = m2 + b_m2 + delta * delta * n * c_total / n_new
                     n = n_new
                 if collect == "debug":
+                    if not adapt:  # a_mean only exists while adapting
+                        a_mean = _pooled_sum(aprob, axis_name) / c_total
                     ys = (a_mean, da["log_eps"], adam["log_tau"],
                           num_steps)
                 elif collect:

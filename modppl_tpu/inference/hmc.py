@@ -60,12 +60,19 @@ def latent_bijectors(trace, observed, selection=None):
     return out
 
 
-def make_unconstrained_logprob(model, args, trace, observed, selection=None):
+def make_unconstrained_logprob(model, args, trace, observed, selection=None,
+                               include_jacobian=True):
     """Build ``logprob(u) -> float`` over unconstrained latents.
 
     Returns (logprob, u0, bijectors, constrain) where u0 is the
     unconstrained image of the trace's current latent values and
     ``constrain(u)`` maps back to a {addr: value} dict.
+
+    ``include_jacobian=False`` drops the log-det-Jacobian term: the
+    result is the joint density in CONSTRAINED space evaluated through
+    the change of variables — what constrained-space MAP optimization
+    maximizes (inference/map_laplace.py) — rather than the density of the
+    pushed-forward measure that HMC/NUTS/VI target.
     """
     bijectors = latent_bijectors(trace, observed, selection)
 
@@ -77,7 +84,8 @@ def make_unconstrained_logprob(model, args, trace, observed, selection=None):
         ldj = 0.0
         for addr, bij in bijectors.items():
             constraints.observe(addr, bij.forward(u[addr]))
-            ldj = ldj + bij.log_det_jacobian(u[addr])
+            if include_jacobian:
+                ldj = ldj + bij.log_det_jacobian(u[addr])
         # fully-constrained generate: weight == logjp (gfi.rs:87-90)
         w = model.assess(jax.random.PRNGKey(0), args, constraints)
         return w + ldj
@@ -137,12 +145,16 @@ def hmc_transition(key, u_flat, logp_flat, grad_flat, eps, num_leapfrog,
 # --------------------------------------------------------------------------
 
 def da_init(eps0):
+    log_eps = jnp.log(eps0)
+    # scalars follow eps0's dtype: default-dtype zeros would promote the
+    # whole carry to f64 under x64 even for an f32 chain state
+    zero = jnp.zeros((), log_eps.dtype)
     return {
-        "log_eps": jnp.log(eps0),
-        "log_eps_bar": jnp.log(eps0),
-        "h_bar": jnp.zeros(()),
-        "mu": jnp.log(10.0 * eps0),
-        "t": jnp.zeros(()),
+        "log_eps": log_eps,
+        "log_eps_bar": log_eps,
+        "h_bar": zero,
+        "mu": jnp.log(10.0 * jnp.asarray(eps0, log_eps.dtype)),
+        "t": zero,
     }
 
 
@@ -236,7 +248,7 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
             jax.random.fold_in(key, 2), us, eps, lam, b, inv_mass,
             num_samples, num_leapfrog, interpret=interpret)
         sw = lambda x: jnp.swapaxes(x, 0, 1)
-        return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps
+        return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps, inv_mass
 
     # round 4: BOTH phases as single launches at d >= 7 too — the MXU
     # warmup chunk keeps all chains in one block (warmup emits no per-
@@ -255,7 +267,7 @@ def _quadratic_chains(key, lam, b, u0s, num_warmup, num_samples, eps0,
         jax.random.fold_in(key, 2), us, eps, lam, b, inv_mass,
         num_samples, num_leapfrog, interpret=interpret)
     sw = lambda x: jnp.swapaxes(x, 0, 1)
-    return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps
+    return sw(us_t), sw(logps), sw(aprobs), sw(divs), eps, inv_mass
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +296,7 @@ def _single_chain(key, logprob, u0_flat, num_warmup, num_samples, eps0,
 
     keys_s = jax.random.split(jax.random.fold_in(key, 2), num_samples)
     _, (us, logps, aprobs, divs) = jax.lax.scan(sample_body, u, keys_s)
-    return us, logps, aprobs, divs, eps
+    return us, logps, aprobs, divs, eps, inv_mass
 
 
 # iterations per pre-draw segment of the fast pooled path. FIXED (layout-
@@ -434,7 +446,7 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
 
     zeros = jnp.zeros((dim,), dt)
 
-    def make_body(inv_mass, adapt_mass, collect, adapt_da=True):
+    def make_body(inv_mass, adapt_mass, collect, adapt_da=True, ref=None):
         def body(carry, xs):
             # sharded path: barriers bracket the transition so its
             # subgraph is insulated from surrounding-program fusion (the
@@ -449,17 +461,22 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
             U, LP, G, aprob = barrier((U, LP, G, aprob))
             if adapt_mass:
                 # ONE fused reduction for all pooled statistics per
-                # iteration (accept mean + raw first/second moments for
-                # the windowed mass estimate) instead of three — at one
+                # iteration (accept mean + first/second moments for the
+                # windowed mass estimate) instead of three — at one
                 # shard a single reduce kernel, sharded a single
-                # all_gather of (2d+1,) partials
+                # all_gather of (2d+1,) partials. Moments accumulate
+                # CENTERED at the window-start pooled mean `ref`: the raw
+                # (uncentered) form cancels catastrophically in f32 when
+                # a posterior sits far from the origin (|mean| >> sd —
+                # e.g. mean 1e4, sd 0.1 loses ALL variance digits).
+                Uc = U - ref[None, :]
                 stat = psum0(jnp.concatenate(
-                    [aprob[:, None], U, U * U], axis=1))
+                    [aprob[:, None], Uc, Uc * Uc], axis=1))
                 a_mean = stat[0] / c_total
                 s1 = s1 + stat[1: 1 + dim]
                 s2 = s2 + stat[1 + dim:]
                 n = n + c_total
-            else:
+            elif adapt_da:
                 a_mean = psum0(aprob) / c_total
             if adapt_da:
                 da = da_update(da, a_mean, target=target_accept)
@@ -469,8 +486,8 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
         return body
 
     def run_phase(phase_key, carry, inv_mass, length, adapt_mass,
-                  collect=False, adapt_da=True):
-        body = make_body(inv_mass, adapt_mass, collect, adapt_da)
+                  collect=False, adapt_da=True, ref=None):
+        body = make_body(inv_mass, adapt_mass, collect, adapt_da, ref)
         outs = []
         done, seg = 0, 0
         while done < length:
@@ -502,14 +519,18 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
                              inv_mass, fast1, False)
         phase += 1
     for w in slow:
+        # window-start pooled mean as the centering point for the moment
+        # sums (layout-invariant: one fixed-order reduction per window)
+        ref = psum0(carry[0]) / c_total
         carry, _ = run_phase(jax.random.fold_in(k_warm, phase), carry,
-                             inv_mass, w, True)
+                             inv_mass, w, True, ref=ref)
         phase += 1
         U, LP, G, da, s1, s2, n = carry
-        # raw-moment variance (f32-adequate at warmup scales; the fixed
-        # reduction trees keep it layout-invariant when sharded)
-        mean = s1 / jnp.maximum(n, 1.0)
-        var = (s2 - n * mean * mean) / jnp.maximum(n - 1.0, 1.0)
+        # centered-moment variance: s1/s2 accumulate around `ref`, so the
+        # subtraction cancels at the scale of the posterior SPREAD, not
+        # its location (f32-safe for posteriors far from the origin)
+        meanc = s1 / jnp.maximum(n, 1.0)
+        var = (s2 - n * meanc * meanc) / jnp.maximum(n - 1.0, 1.0)
         var = jnp.maximum(var, 0.0)
         shrink = n / (n + 5.0)
         var = shrink * var + (1.0 - shrink) * 1e-3
@@ -537,7 +558,7 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
         collect=True, adapt_da=False)
     # (samples, chains, ...) -> (chains, samples, ...)
     sw = lambda x: jnp.swapaxes(x, 0, 1)
-    return sw(us), sw(logps), sw(aprobs), sw(divs), eps
+    return sw(us), sw(logps), sw(aprobs), sw(divs), eps, inv_mass
 
 
 # threshold above which the MXU-tiled CHUNK kernels take over from the
@@ -548,7 +569,9 @@ def _pooled_chains(key, logprob, u0s, num_warmup, num_samples, eps0,
 # quadratics — where the generic path's O(d^3) unrolled mvnormal
 # gradient HLO did not even finish compiling. Auto-dispatch is now
 # contiguous: d <= FUSED_QUADRATIC_MAX_DIM_VPU -> VPU chunks, above ->
-# MXU chunks (whenever the quadratic probe succeeds).
+# MXU chunks (whenever the quadratic probe succeeds). Lane packing
+# (leapfrog_pallas._seg_width, round 5 late) then took the d=32 MXU
+# chunk from 0.180 to 0.0727 s — 2.5x clear of the generic path.
 FUSED_QUADRATIC_MIN_DIM = 13
 # threshold below which the CHUNKED VPU kernels win (round 4): the whole
 # warmup and the whole sampling phase run as ONE launch each
@@ -613,12 +636,14 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
     # grid cannot be zero-length, ADVICE r4): a pre-adapted zero-warmup
     # run silently keeps the generic path; only an EXPLICIT
     # use_fused_quadratic=True hard-fails inside _quadratic_chains
+    # NOTE: since round 5 kernel dispatch is contiguous over d (VPU
+    # chunks to FUSED_QUADRATIC_MAX_DIM_VPU, MXU chunks above), so auto
+    # detection is attempted at EVERY dim on TPU; the VPU/MXU split is
+    # decided inside _quadratic_chains
     if use_fused_quadratic or (use_fused_quadratic is None
                                and axis_name is None
                                and num_warmup >= 1
-                               and jax.default_backend() == "tpu"
-                               and (dim >= FUSED_QUADRATIC_MIN_DIM
-                                    or dim <= FUSED_QUADRATIC_MAX_DIM_VPU)):
+                               and jax.default_backend() == "tpu"):
         quad = detect_quadratic_target(logprob_flat, dim, u0_flat.dtype)
         if quad is None and use_fused_quadratic:
             raise ValueError(
@@ -645,12 +670,12 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
 
         if quad is not None:
             lam, b = quad
-            us, logps, aprobs, divs, eps = _quadratic_chains(
+            us, logps, aprobs, divs, eps, inv_mass = _quadratic_chains(
                 jax.random.fold_in(k_run, 0), lam, b, u0s, num_warmup,
                 num_samples, step_size, num_leapfrog, target_accept,
                 interpret=jax.default_backend() != "tpu")
         elif pooled_adaptation:
-            us, logps, aprobs, divs, eps = _pooled_chains(
+            us, logps, aprobs, divs, eps, inv_mass = _pooled_chains(
                 jax.random.fold_in(k_run, 0), logprob_flat, u0s, num_warmup,
                 num_samples, step_size, num_leapfrog, target_accept,
                 axis_name=axis_name)
@@ -660,8 +685,8 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
                                      num_samples, step_size, num_leapfrog,
                                      target_accept)
 
-            us, logps, aprobs, divs, eps = jax.vmap(run_one)(chain_keys,
-                                                             u0s)
+            us, logps, aprobs, divs, eps, inv_mass = jax.vmap(run_one)(
+                chain_keys, u0s)
 
         # self-verification of the fused dispatch (VERDICT r4 #8):
         # dispatch-by-probe is the one place the sampler is substituted on
@@ -692,6 +717,10 @@ def hmc_runner(model, args, observed, *, num_samples=1000, num_warmup=500,
             "accept_prob": aprobs,
             "divergences": divs,
             "step_size": eps,
+            # adapted diagonal metric M^-1 (Stan's inv_metric): (dim,)
+            # shared across chains under pooled adaptation / the fused
+            # kernels, (chains, dim) on the per-chain path
+            "inv_mass": inv_mass,
             "unconstrained": us,
             # surfaced dispatch decision (ADVICE r3): which transition
             # implementation actually ran

@@ -32,33 +32,20 @@ import jax.numpy as jnp
 import optax
 from jax.flatten_util import ravel_pytree
 
-from modppl_tpu.inference.hmc import latent_bijectors
+from modppl_tpu.inference.hmc import make_unconstrained_logprob
 
 
 def _make_objective(model, args, trace, observed, selection,
                     include_jacobian):
-    """Unconstrained objective u_flat -> scalar, plus (u0_flat, constrain).
-
-    Mirrors hmc.make_unconstrained_logprob but makes the log-det-Jacobian
-    term optional (constrained-space MAP excludes it; the Laplace /
-    HMC-target density includes it)."""
-    bijectors = latent_bijectors(trace, observed, selection)
-
-    def constrain(u):
-        return {addr: bijectors[addr].forward(u[addr]) for addr in bijectors}
-
-    def logprob(u):
-        constraints = observed.copy()
-        ldj = 0.0
-        for addr, bij in bijectors.items():
-            constraints.observe(addr, bij.forward(u[addr]))
-            if include_jacobian:
-                ldj = ldj + bij.log_det_jacobian(u[addr])
-        w = model.assess(jax.random.PRNGKey(0), args, constraints)
-        return w + ldj
-
-    u0 = {addr: bijectors[addr].inverse(trace.data.read(addr))
-          for addr in bijectors}
+    """Flat unconstrained objective u_flat -> scalar, plus (u0_flat,
+    constrain_flat) — hmc.make_unconstrained_logprob (one shared bijector
+    / observe / assess composition across HMC, VI and MAP) raveled to a
+    flat coordinate vector, with the log-det-Jacobian term optional
+    (constrained-space MAP excludes it; the Laplace / HMC-target density
+    includes it)."""
+    logprob, u0, _, constrain = make_unconstrained_logprob(
+        model, args, trace, observed, selection,
+        include_jacobian=include_jacobian)
     u0_flat, unravel = ravel_pytree(u0)
 
     def objective_flat(u_flat):
@@ -114,7 +101,9 @@ def map_optimize(key, model, args, observed, *, num_steps=500,
         inits = u0_flat[None, :] + jitter.reshape(num_restarts, -1)
         inits = inits.at[0].set(u0_flat)  # restart 0 = the trace's values
         us, vals = jax.vmap(run_one)(inits)
-        best = jnp.argmax(vals)
+        # a diverged restart carries nan, which argmax treats as maximal
+        # — demote non-finite restarts so a converged mode wins
+        best = jnp.argmax(jnp.where(jnp.isfinite(vals), vals, -jnp.inf))
         return us[best], vals[best], vals
 
     u_best, logp, restart_logps = solve(key)
@@ -162,6 +151,19 @@ def laplace_approximation(key, model, args, observed, *, num_steps=500,
     H = 0.5 * (H + H.T)
     # cov = (-H)^-1 via a Cholesky of the (PD at a strict mode) precision
     L_prec = jnp.linalg.cholesky(-H)
+    # a non-PD Hessian (saddle / flat direction / under-converged Adam)
+    # makes the whole approximation nan — fail loudly when running
+    # eagerly instead of handing back silent nan cov/log_ml/samples
+    try:
+        if not bool(jnp.all(jnp.isfinite(L_prec))):
+            raise ValueError(
+                "laplace_approximation: the Hessian at the optimum is not "
+                "negative-definite (saddle point, flat direction, or "
+                "under-converged optimization — try more num_steps or a "
+                "smaller learning_rate)")
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass  # under an outer trace the caller must check isfinite(cov)
     eye = jnp.eye(d, dtype=u_star.dtype)
     Linv = jax.scipy.linalg.solve_triangular(L_prec, eye, lower=True)
     cov = Linv.T @ Linv

@@ -71,7 +71,6 @@ def make_stochvol_joint(T, params: SVParams = SVParams()):
 
     mu, phi, sigma, beta = params.mu, params.phi, params.sigma, params.beta
     sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
-    z_dist = iid_normal_T = None  # populated below (import-order tidiness)
     from modppl_tpu.dists.iid import iid
 
     z_dist = iid(normal, T)

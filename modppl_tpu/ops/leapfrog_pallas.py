@@ -307,8 +307,17 @@ def _chunk_kernel_mxu(num_steps, seg, u0_ref, mom_ref, eps_ref, u01_ref,
     eps = jnp.dot(eps_c, B, precision=hi)    # (BC, 128) plane
 
     def grad(u):
-        # HIGHEST is load-bearing (see _kernel)
-        return bv - jnp.dot(u, lam, preferred_element_type=dt,
+        # HIGHEST is load-bearing (see _kernel). Clamp the matmul
+        # input: an overflowed (inf) chain would otherwise poison every
+        # co-packed chain in its row through inf * 0 = nan against the
+        # block-diagonal zeros — elementwise ops keep the overflow
+        # confined to the bad chain's own lanes, the matmul must too.
+        # u is never nan here (p stays finite when g does, so u only
+        # ever reaches +-inf), so a clip to +-1e30 suffices and is
+        # cheaper than an isfinite select; the bad chain itself is
+        # flagged divergent from its energies.
+        u_m = jnp.clip(u, -1e30, 1e30)
+        return bv - jnp.dot(u_m, lam, preferred_element_type=dt,
                             precision=hi)
 
     def e_elem(u, g, p):
@@ -327,8 +336,13 @@ def _chunk_kernel_mxu(num_steps, seg, u0_ref, mom_ref, eps_ref, u01_ref,
     e0 = e_elem(u0, g0, p0)
     u1, p1, g1 = jax.lax.fori_loop(0, num_steps, body, (u0, p0, g0))
 
-    dh_c = jnp.dot(e0 - e_elem(u1, g1, p1), Bt, precision=hi)  # (BC, 8)
-    div_c = jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
+    # same sanitation for the energy reduction: zero non-finite terms in
+    # the @ Bt sum and flag their groups divergent explicitly
+    e_diff = e0 - e_elem(u1, g1, p1)
+    fin = jnp.isfinite(e_diff)
+    bad_c = jnp.dot(1.0 - fin.astype(dt), Bt, precision=hi) > 0.0
+    dh_c = jnp.dot(jnp.where(fin, e_diff, 0.0), Bt, precision=hi)
+    div_c = bad_c | jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
     aprob_c = jnp.where(div_c, 0.0,
                         jnp.minimum(1.0, jnp.exp(jnp.minimum(dh_c, 0.0))))
     acc_c = (u01_c < aprob_c).astype(dt)
@@ -336,7 +350,12 @@ def _chunk_kernel_mxu(num_steps, seg, u0_ref, mom_ref, eps_ref, u01_ref,
     # divergent u1 carries inf/nan and 0 * inf would poison the reject
     acc = jnp.dot(acc_c, B, precision=hi) > 0.5
     u_out = jnp.where(acc, u1, u0)
-    lp_c = jnp.dot(0.5 * jnp.where(acc, u1 * (bv + g1), u0 * (bv + g0)),
+    # logp reduction sanitized like the energies: a chain whose state
+    # energy overflows f32 (it is flagged divergent above) must not nan
+    # its co-packed neighbors' logp sums; its own logp is garbage, which
+    # the divergent flag already communicates
+    lp_elem = 0.5 * jnp.where(acc, u1 * (bv + g1), u0 * (bv + g0))
+    lp_c = jnp.dot(jnp.where(jnp.isfinite(lp_elem), lp_elem, 0.0),
                    Bt, precision=hi)
     u_scr[...] = u_out
     uo_ref[0] = u_out
@@ -424,7 +443,10 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries, seg,
     u01_c = u01_ref[0]               # (BC, 8) compact
 
     def grad(u):
-        return bv - jnp.dot(u, lam, preferred_element_type=dt,
+        # clamped matmul input: see _chunk_kernel_mxu.grad (an inf
+        # chain must not nan-poison its co-packed row)
+        u_m = jnp.clip(u, -1e30, 1e30)
+        return bv - jnp.dot(u_m, lam, preferred_element_type=dt,
                             precision=hi)
 
     def e_elem(u, g, p):
@@ -441,8 +463,11 @@ def _warmup_kernel_mxu(num_steps, n_live, eps0, target, boundaries, seg,
     g0 = grad(u0)
     e0 = e_elem(u0, g0, p0)
     u1, p1, g1 = jax.lax.fori_loop(0, num_steps, body, (u0, p0, g0))
-    dh_c = jnp.dot(e0 - e_elem(u1, g1, p1), Bt, precision=hi)
-    div_c = jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
+    e_diff = e0 - e_elem(u1, g1, p1)
+    fin = jnp.isfinite(e_diff)
+    bad_c = jnp.dot(1.0 - fin.astype(dt), Bt, precision=hi) > 0.0
+    dh_c = jnp.dot(jnp.where(fin, e_diff, 0.0), Bt, precision=hi)
+    div_c = bad_c | jnp.logical_not(jnp.isfinite(dh_c)) | (dh_c < -1000.0)
     aprob_c = jnp.where(div_c, 0.0,
                         jnp.minimum(1.0, jnp.exp(jnp.minimum(dh_c, 0.0))))
     acc_c = (u01_c < aprob_c).astype(dt)

@@ -200,10 +200,11 @@ def shardmap_hmc(mesh, key, model, args, observed, *, num_samples=1000,
 
     run = shard_map(local_fn, mesh=mesh,
                     in_specs=(P(), P(axis)),
-                    out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis), P(),
+                               P()),
                     check_vma=False)
     with mesh:
-        us, logps, aprobs, divs, eps = jax.jit(run)(
+        us, logps, aprobs, divs, eps, inv_mass = jax.jit(run)(
             jax.random.fold_in(k_run, 0), u0s)
 
     def constrain_flat(u_flat):
@@ -211,7 +212,8 @@ def shardmap_hmc(mesh, key, model, args, observed, *, num_samples=1000,
 
     samples = jax.vmap(jax.vmap(constrain_flat))(us)
     return {"samples": samples, "logp": logps, "accept_prob": aprobs,
-            "divergences": divs, "step_size": eps, "unconstrained": us}
+            "divergences": divs, "step_size": eps, "inv_mass": inv_mass,
+            "unconstrained": us}
 
 
 def shardmap_chees(mesh, key, model, args, observed, *, num_chains=8,

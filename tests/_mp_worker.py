@@ -69,9 +69,10 @@ def _hmc_case(mesh):
 
     run = shard_map(local_fn, mesh=mesh,
                     in_specs=(P(), P("dp")),
-                    out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P()),
+                    out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P(),
+                               P()),
                     check_vma=False)
-    us, logps, aprobs, divs, eps = jax.jit(run)(
+    us, logps, aprobs, divs, eps, _inv_mass = jax.jit(run)(
         jax.random.fold_in(k_run, 0), u0s)
     return us, aprobs, eps
 

@@ -555,3 +555,39 @@ def test_packed_mxu_warmup_adapts_metric():
     assert 0.05 < float(eps) < 5.0
     ratio = np.asarray(im) / var
     assert 0.2 < ratio.min() and ratio.max() < 5.0
+
+
+def test_packed_divergent_chain_does_not_poison_row():
+    """Lane packing puts G chains in one matmul row; an overflowed (inf)
+    chain must not nan-poison its co-packed neighbors (inf * 0 = nan
+    against the block-diagonal zeros). The kernels sanitize matmul inputs
+    and energy reductions, so every OTHER chain's trajectory is bitwise
+    identical whether or not a neighbor diverges."""
+    from modppl_tpu.ops.leapfrog_pallas import hmc_sample_chunk
+
+    rng = np.random.default_rng(0)
+    d, n = 20, 8  # s=32 -> G=4 chains per row; chains 0-3 share row 0
+    A = rng.standard_normal((d, d)) * 0.2
+    lam = jnp.asarray(A @ A.T + np.eye(d), jnp.float32)
+    b = jnp.zeros(d, jnp.float32)
+    im = jnp.ones(d, jnp.float32)
+    u_ok = jnp.asarray(rng.standard_normal((n, d)) * 0.5, jnp.float32)
+    u_bad = u_ok.at[0].set(1e20)  # chain 0's energy overflows f32
+    key = jax.random.PRNGKey(3)
+    T, L = 3, 4
+
+    us_a, lp_a, ap_a, dv_a = hmc_sample_chunk(key, u_ok, 0.1, lam, b, im,
+                                              T, L, interpret=True)
+    us_b, lp_b, ap_b, dv_b = hmc_sample_chunk(key, u_bad, 0.1, lam, b, im,
+                                              T, L, interpret=True)
+    # the divergent chain is flagged and held at its (finite) start state
+    assert bool(dv_b[:, 0].any())
+    assert np.isfinite(np.asarray(us_b[:, 0])).all()
+    # every other chain: bitwise identical to the all-healthy run
+    np.testing.assert_array_equal(np.asarray(us_a[:, 1:]),
+                                  np.asarray(us_b[:, 1:]))
+    np.testing.assert_array_equal(np.asarray(lp_a[:, 1:]),
+                                  np.asarray(lp_b[:, 1:]))
+    np.testing.assert_array_equal(np.asarray(ap_a[:, 1:]),
+                                  np.asarray(ap_b[:, 1:]))
+    assert not np.asarray(dv_b[:, 1:]).any()

@@ -185,3 +185,26 @@ def test_adapted_metric_reaches_da_equilibrium_on_stiff_target():
     # mixing sanity: the stiffest coordinate still moves
     us = np.asarray(out["unconstrained"])  # (chains, draws, 4)
     assert us[:, :, 0].std() > 0.004
+
+
+def test_fast_pooled_mass_adaptation_far_from_origin_f32():
+    """The fast pooled path accumulates moment sums CENTERED at the
+    window-start pooled mean: the raw (uncentered) form cancels
+    catastrophically in f32 when |posterior mean| >> sd (here mean 1e4,
+    sd 0.1 — raw s2 ~ 1e12 loses every variance digit). The adapted
+    metric must track the true marginal variance."""
+    from modppl_tpu.inference.hmc import _pooled_chains
+
+    mu0, sd = 10000.0, 0.1
+
+    def logprob(u):
+        return -0.5 * jnp.sum(((u - mu0) / sd) ** 2)
+
+    u0s = (mu0 + sd * jax.random.normal(jax.random.PRNGKey(0), (256, 2))
+           ).astype(jnp.float32)
+    out = _pooled_chains(jax.random.PRNGKey(1), logprob, u0s,
+                         200, 50, 0.05, 8, 0.8)
+    us, logps, aprobs, divs, eps, inv_mass = out
+    assert inv_mass.dtype == jnp.float32
+    ratio = np.asarray(inv_mass) / sd ** 2
+    assert np.all(ratio > 0.1) and np.all(ratio < 10.0), ratio
